@@ -1,0 +1,118 @@
+"""Dataset discovery + sharding for packed TorchIdx folders.
+
+Replaces the reference's asyncio machinery (lib/data_utils/async_dataset.py)
+with a simpler, JAX-native design: datasets are folders of
+``{split}/{field}.torch.{idx,bin}`` files; discovery walks the tree
+(async_dataset.py:56-127); sharding follows the reference ``Sampler``'s
+(rank, world_size) contract (async_dataset.py:458-606) with pad-to-equal
+semantics so every host sees the same number of batches (required for
+collective-synchronous SPMD eval); prefetch is a thread that overlaps host
+preprocessing with device compute (prefetch.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .idxbin import TorchIdx
+
+SPLIT_TRAIN = "training"
+SPLIT_TEST = "testing"
+
+
+def find_dataset_folders(
+    root: str,
+    fields: Sequence[str],
+    split: str = SPLIT_TEST,
+) -> List[str]:
+    """Find folders containing ``{split}/{field}.torch.idx`` for all fields."""
+    out = []
+    for cur, _dirs, files in sorted(os.walk(root)):
+        if os.path.basename(cur) != split:
+            continue
+        if all(f"{f}.torch.idx" in files for f in fields):
+            out.append(cur)
+    return out
+
+
+class PackedDataset:
+    """Dict-of-fields random access over one or more packed folders.
+
+    Equivalent of the reference's SingleFolderAsyncDataset + ConcatDataset
+    (async_dataset.py:246-413) without the asyncio indirection: TorchIdx
+    memory maps already give zero-copy random access, and the OS page cache
+    plays the role of the in-memory preload.
+    """
+
+    def __init__(self, folders: Sequence[str], fields: Sequence[str]):
+        self.fields = list(fields)
+        self._readers: List[Dict[str, TorchIdx]] = []
+        self._cum: List[int] = [0]
+        for folder in folders:
+            readers = {
+                f: TorchIdx(os.path.join(folder, f + ".torch.idx")) for f in fields
+            }
+            lens = {len(r) for r in readers.values()}
+            assert len(lens) == 1, f"field length mismatch in {folder}"
+            self._readers.append(readers)
+            self._cum.append(self._cum[-1] + lens.pop())
+
+    def __len__(self) -> int:
+        return self._cum[-1]
+
+    def __getitem__(self, i: int) -> Dict[str, object]:
+        if i < 0:
+            i += len(self)
+        fi = int(np.searchsorted(self._cum, i, side="right")) - 1
+        local = i - self._cum[fi]
+        return {f: r[local] for f, r in self._readers[fi].items()}
+
+
+class ShardSampler:
+    """Deterministic (rank, world_size) sharding with pad-to-equal.
+
+    Matches the contract of the reference ``Sampler``
+    (async_dataset.py:458-606): indices are split contiguously-strided
+    across ranks; shorter shards wrap around so every rank yields the same
+    count (keeps SPMD collectives in lockstep). Optional seeded shuffling.
+    """
+
+    def __init__(
+        self,
+        n: int,
+        rank: int = 0,
+        world_size: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = False,
+    ):
+        assert 0 <= rank < world_size
+        idx = np.arange(n)
+        if shuffle:
+            idx = np.random.default_rng(seed).permutation(n)
+        per_rank = (
+            n // world_size if drop_remainder else -(-n // world_size)
+        )
+        shard = idx[rank::world_size]
+        if not drop_remainder and len(shard) < per_rank and len(shard) > 0:
+            shard = np.concatenate([shard, shard[: per_rank - len(shard)]])
+        self.indices = shard[:per_rank]
+
+    def __iter__(self):
+        return iter(self.indices.tolist())
+
+    def __len__(self):
+        return len(self.indices)
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of field dicts into batched arrays (bundles.collate
+    analog, reference bundles.py:155-206)."""
+    out: Dict[str, np.ndarray] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = np.stack(vals) if isinstance(vals[0], np.ndarray) else vals
+    return out

@@ -1,0 +1,177 @@
+"""Forward kinematics + linear-blend skinning, fully fused for TPU.
+
+Reproduces the math of the reference's ``lib/common/hand_skinning.py``:
+  * per-joint local transform: R = exp([axis * angle]_x),
+    t = rest - R @ rest (hand_skinning.py:35-53, via pytorch3d so3_exp_map);
+  * per-finger 4-DoF chain keeping the last 3 frames
+    (hand_skinning.py:17-32);
+  * 17 skinning frames = [root, wrist, 3 per finger x 5]
+    (hand_skinning.py:100-127);
+  * LBS blend of landmarks with <=3 bone weights (hand_skinning.py:56-97).
+
+TPU-first design: no Python lists of tensors, no scatter. The finger chains
+are an unrolled product of 4 matmuls batched over (batch x 5 fingers); the
+sparse skinning weights become a dense (21, 17) matrix applied with one
+einsum. Everything broadcasts over arbitrary leading batch dims and is
+jit/vmap/scan-friendly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..geometry.affine import matmul
+from .hand_model import (
+    DOF_PER_FINGER,
+    HandModel,
+    NUM_DIGITS,
+    NUM_JOINT_FRAMES,
+    landmark_skinning_matrix,
+)
+
+
+def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Rodrigues' rotation formula for axis-angle vectors (..., 3) -> (..., 3, 3).
+
+    R = I + sin(t)/t [w]_x + (1-cos(t))/t^2 [w]_x^2 with Taylor guards at
+    t -> 0 (same semantics as pytorch3d's ``so3_exp_map`` used by the
+    reference at hand_skinning.py:46).
+    """
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < eps
+    # Feed the non-taken branch safe values so its *gradient* stays finite
+    # (a plain `where` still differentiates both branches; sqrt'(0) = inf).
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(theta2_safe)
+    sin_t = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    cos_t = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(x)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + sin_t[..., None, None] * K + cos_t[..., None, None] * matmul(K, K)
+
+
+def _joint_local_transforms(
+    rotation_axes: jnp.ndarray,  # (..., 20, 3)
+    rest_positions: jnp.ndarray,  # (..., 20, 3)
+    joint_angles: jnp.ndarray,  # (..., 20)
+) -> jnp.ndarray:
+    """(..., 20, 4, 4) local joint transforms (reference hand_skinning.py:35-53)."""
+    w = rotation_axes * joint_angles[..., None]
+    rot = so3_exp(w)
+    trans = rest_positions - jnp.einsum(
+        "...ij,...j->...i", rot, rest_positions
+    )
+    out = jnp.zeros(w.shape[:-1] + (4, 4), w.dtype)
+    out = out.at[..., :3, :3].set(rot)
+    out = out.at[..., :3, 3].set(trans)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def skinning_transforms(
+    rotation_axes: jnp.ndarray,  # (..., >=20, 3)
+    rest_positions: jnp.ndarray,  # (..., >=20, 3)
+    joint_angles: jnp.ndarray,  # (..., >=20)
+    wrist_transforms: jnp.ndarray,  # (..., 4, 4)
+) -> jnp.ndarray:
+    """The 17 skinning frames (..., 17, 4, 4).
+
+    Frame order matches the reference (hand_skinning.py:100-127):
+    [root, wrist, f0_frame2, f0_frame3, f0_frame4, f1_frame2, ...] where a
+    finger's frames are cumulative products of its 4 local joint transforms,
+    keeping products of length 2, 3 and 4. Only the first 20 joint angles
+    participate; the trailing 2 wrist DoFs are carried by
+    ``wrist_transforms``.
+    """
+    n20 = NUM_DIGITS * DOF_PER_FINGER
+    local = _joint_local_transforms(
+        rotation_axes[..., :n20, :], rest_positions[..., :n20, :], joint_angles[..., :n20]
+    )
+    batch = local.shape[:-3]
+    # (..., 5, 4, 4, 4): per-finger local transforms
+    per_finger = local.reshape(batch + (NUM_DIGITS, DOF_PER_FINGER, 4, 4))
+
+    w = wrist_transforms[..., None, :, :]  # broadcast over fingers
+    m01 = matmul(w, per_finger[..., 0, :, :])
+    m2 = matmul(m01, per_finger[..., 1, :, :])  # frame after 2 joints
+    m3 = matmul(m2, per_finger[..., 2, :, :])  # after 3
+    m4 = matmul(m3, per_finger[..., 3, :, :])  # after 4
+    finger_frames = jnp.stack([m2, m3, m4], axis=-3)  # (..., 5, 3, 4, 4)
+    finger_frames = finger_frames.reshape(batch + (NUM_DIGITS * 3, 4, 4))
+
+    root_wrist = jnp.stack([wrist_transforms, wrist_transforms], axis=-3)
+    return jnp.concatenate([root_wrist, finger_frames], axis=-3)
+
+
+def skin_points(
+    hand: HandModel,
+    skin_matrix: jnp.ndarray,  # (..., V, 17)
+    points: jnp.ndarray,  # (..., V, 3)
+    joint_angles: jnp.ndarray,  # (..., 22)
+    wrist_transforms: jnp.ndarray,  # (..., 4, 4)
+) -> jnp.ndarray:
+    """LBS: blend the 17 frame transforms per point -> (..., V, 3).
+
+    out_v = sum_f skin[v,f] * (M_f @ [p_v; 1]) (reference
+    hand_skinning.py:56-67 via _lbs + _get_skinned_vertices, fused here into
+    a single einsum feeding the MXU).
+    """
+    xfs = skinning_transforms(
+        hand.joint_rotation_axes,
+        hand.joint_rest_positions,
+        joint_angles,
+        wrist_transforms,
+    )
+    p_h = jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
+    blended = jnp.einsum(
+        "...vf,...fij,...vj->...vi",
+        skin_matrix,
+        xfs,
+        p_h,
+        precision="highest",
+    )
+    return blended[..., :3]
+
+
+def skin_landmarks(
+    hand: HandModel,
+    joint_angles: jnp.ndarray,  # (..., 22)
+    wrist_transforms: jnp.ndarray,  # (..., 4, 4)
+) -> jnp.ndarray:
+    """21 world-space landmarks for the given pose (..., 21, 3).
+
+    Public equivalent of reference ``skin_landmarks``
+    (hand_skinning.py:189-209).
+    """
+    skin_mat = landmark_skinning_matrix(hand)
+    return skin_points(
+        hand, skin_mat, hand.landmark_rest_positions, joint_angles, wrist_transforms
+    )
+
+
+def landmarks_from_hand_pose(
+    hand: HandModel,
+    joint_angles: jnp.ndarray,
+    wrist_transform: jnp.ndarray,
+    hand_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """World landmarks with the right-hand wrist mirror applied.
+
+    The model stores left hands only; for right hands the wrist transform's x
+    column flips sign before FK (reference
+    lib/tracker/perspective_crop.py:40-51).
+    """
+    xf = wrist_transform.at[..., :, 0].multiply(
+        jnp.where(jnp.asarray(hand_idx) == 1, -1.0, 1.0)[..., None]
+    )
+    return skin_landmarks(hand, joint_angles, xf)

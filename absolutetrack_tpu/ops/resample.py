@@ -1,0 +1,153 @@
+"""Image warp / resample ops: fisheye->pinhole crop extraction.
+
+Replaces both hot resampling paths of the reference with one batched,
+jittable op:
+  * ``_warp_image`` -- per-crop dense cv2.remap through the full camera
+    chain (lib/tracker/tracker.py:61-89);
+  * ``_resample_images_batched`` -- NumPy bilinear warp through a single
+    4x4 pixel-to-pixel homography (lib/batched_dataset/data_transform.py:78-144).
+
+Design: coordinates are computed with vectorized camera math (VPU-friendly
+elementwise chains); sampling is a bilinear gather. XLA lowers the gather
+well enough on TPU for 96x96 crops; a blocked Pallas variant (DMA the source
+window to VMEM per crop tile) is the planned upgrade path once profiled.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..geometry import affine, camera as cam
+
+
+def bilinear_sample(
+    images: jnp.ndarray,  # (V, H, W)
+    image_idx: jnp.ndarray,  # (N,) int -- which source image each slot reads
+    coords: jnp.ndarray,  # (N, P, 2) source pixel coords (x, y)
+) -> jnp.ndarray:
+    """Bilinear sampling with zero padding outside the source image.
+
+    Matches cv2.remap(INTER_LINEAR, BORDER_CONSTANT 0) semantics used by the
+    reference (tracker.py:87) up to border-pixel handling: coordinates with
+    any neighbor outside the image return 0.
+    Returns (N, P).
+    """
+    H, W = images.shape[-2], images.shape[-1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    valid = (x >= 0) & (x0i + 1 <= W - 1) & (y >= 0) & (y0i + 1 <= H - 1)
+    x0c = jnp.clip(x0i, 0, W - 2)
+    y0c = jnp.clip(y0i, 0, H - 2)
+
+    idx = image_idx[:, None]
+    f00 = images[idx, y0c, x0c]
+    f01 = images[idx, y0c, x0c + 1]
+    f10 = images[idx, y0c + 1, x0c]
+    f11 = images[idx, y0c + 1, x0c + 1]
+
+    out = (
+        f00 * (1 - wx) * (1 - wy)
+        + f01 * wx * (1 - wy)
+        + f10 * (1 - wx) * wy
+        + f11 * wx * wy
+    )
+    return jnp.where(valid, out, 0.0)
+
+
+def _dst_pixel_grid(size: Tuple[int, int], dtype=jnp.float32) -> jnp.ndarray:
+    """(h*w, 2) grid of (x, y) pixel centers for the crop image."""
+    w, h = size
+    xs = jnp.arange(w, dtype=dtype)
+    ys = jnp.arange(h, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # (h, w)
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def warp_perspective_crop(
+    src_images: jnp.ndarray,  # (V, H, W) raw camera views
+    src_cameras: cam.Camera,  # batch shape (N,) -- per-slot source camera
+    src_view_idx: jnp.ndarray,  # (N,) int view index per crop slot
+    crop_cameras: cam.Camera,  # batch shape (N,) pinhole crop cameras
+    crop_size: Tuple[int, int],
+    src_kind: str = cam.FISHEYE62,
+    depth_check: bool = True,
+) -> jnp.ndarray:
+    """Extract N pinhole crops from fisheye source views -> (N, h, w).
+
+    Per destination pixel: unproject through the crop camera, to world, into
+    the source camera's eye space, project + distort to source pixels, then
+    bilinear-gather. Points behind the source camera (z < 0) are masked,
+    matching reference ``_warp_image`` (tracker.py:61-89).
+    """
+    w, h = crop_size
+    grid = _dst_pixel_grid(crop_size)  # (h*w, 2)
+    n = src_view_idx.shape[0]
+    grid = jnp.broadcast_to(grid, (n,) + grid.shape)
+
+    dst_eye = cam.window_to_eye(crop_cameras, grid, cam.PINHOLE)  # (N, P, 3)
+    world = cam.eye_to_world(crop_cameras, dst_eye)
+    src_eye = cam.world_to_eye(src_cameras, world)
+    src_win = cam.eye_to_window(src_cameras, src_eye, src_kind)
+
+    if depth_check:
+        behind = src_eye[..., 2] < 0
+        src_win = jnp.where(behind[..., None], -1.0, src_win)
+
+    out = bilinear_sample(src_images, src_view_idx, src_win)
+    return out.reshape(n, h, w)
+
+
+def compute_resample_matrix(
+    K_orig: jnp.ndarray,  # (..., 3, 3)
+    T_world_to_eye_orig: jnp.ndarray,  # (..., 4, 4)
+    K_new: jnp.ndarray,  # (..., 3, 3)
+    T_eye_to_world_new: jnp.ndarray,  # (..., 4, 4)
+) -> jnp.ndarray:
+    """4x4 homography taking new-camera pixels to orig-camera pixels.
+
+    K_orig . W2E_orig . E2W_new . K_new^-1 lifted to 4x4, valid when both
+    cameras are pinhole (reference data_transform.py:57-75).
+    """
+    def lift(m3):
+        out = jnp.zeros(m3.shape[:-2] + (4, 4), m3.dtype)
+        out = out.at[..., :3, :3].set(m3)
+        out = out.at[..., 3, 3].set(1.0)
+        return out
+
+    K_inv_new = jnp.linalg.inv(K_new)
+    return affine.matmul(
+        affine.matmul(lift(K_orig), T_world_to_eye_orig),
+        affine.matmul(T_eye_to_world_new, lift(K_inv_new)),
+    )
+
+
+def warp_homography(
+    src_images: jnp.ndarray,  # (N, H, W)
+    resample_xfs: jnp.ndarray,  # (N, 4, 4) new-pixel -> orig-pixel
+    out_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Pinhole->pinhole batched warp through pixel homographies -> (N, h, w).
+
+    Matches reference ``_resample_images_batched``
+    (data_transform.py:78-144) including its in-bounds criterion
+    [0, W-1) x [0, H-1) with zeros elsewhere.
+    """
+    w, h = out_size
+    n = src_images.shape[0]
+    grid = _dst_pixel_grid(out_size)  # (P, 2)
+    grid_h = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], axis=-1)
+    r = resample_xfs[:, :3, :3]
+    t = resample_xfs[:, :3, 3]
+    src = affine.einsum("nij,pj->npi", r, grid_h) + t[:, None, :]
+    src_xy = src[..., :2] / src[..., 2:3]
+    out = bilinear_sample(src_images, jnp.arange(n), src_xy)
+    return out.reshape(n, h, w)

@@ -1,0 +1,183 @@
+"""Crop-camera generation from hand poses, fully vectorized.
+
+Replaces the reference's per-hand/per-camera Python loops
+(lib/tracker/perspective_crop.py:136-180, lib/tracker/tracker.py:222-260)
+with one jittable function over fixed (NUM_HANDS x MAX_VIEWS) slots:
+
+  1. FK landmarks for up to three poses per hand (actual / neutral /
+     open) form the 21/42/63 crop bounding points
+     (perspective_crop.py:89-133);
+  2. per-camera visibility counting ranks the cameras; the top-2 cameras
+     with >= min_required_vis_landmarks visible are selected via top_k
+     (ties resolve to the lower camera index, matching the reference's
+     stable sort), then sorted ascending by camera index
+     (perspective_crop.py:54-86 + tracker.py:245-249 sort_camera_index);
+  3. a crop camera is synthesized per selected (hand, view) slot with the
+     right-hand mirror and the per-camera roll angle.
+
+Hands below the confidence gate or with fewer than ``min_num_crops``
+eligible cameras are masked invalid (tracker.py:234-258).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import affine, camera as cam, crop
+from ..kinematics import hand_model as hm
+from ..kinematics.hand_model import HandModel, neutral_joint_angles
+from ..kinematics.skinning import landmarks_from_hand_pose
+
+CONFIDENCE_THRESHOLD = 0.5  # reference tracker.py:36
+MAX_VIEWS = 2  # reference tracker.py:37
+
+
+class CropSlots(NamedTuple):
+    """Fixed-capacity crop assignment for one frame.
+
+    view_idx   : (NUM_HANDS, MAX_VIEWS) int source-camera index per slot
+                 (valid slots compacted to the front, ascending cam index).
+    view_valid : (NUM_HANDS, MAX_VIEWS) bool.
+    hand_valid : (NUM_HANDS,) bool.
+    cameras    : CropCamera with batch shape (NUM_HANDS, MAX_VIEWS).
+    """
+
+    view_idx: jnp.ndarray
+    view_valid: jnp.ndarray
+    hand_valid: jnp.ndarray
+    cameras: crop.CropCamera
+
+
+def _crop_points(
+    hand: HandModel,
+    joint_angles: jnp.ndarray,  # (H, 22)
+    wrist: jnp.ndarray,  # (H, 4, 4)
+    num_crop_points: int,
+) -> jnp.ndarray:
+    """(H, num_crop_points, 3) world-space bounding points per hand."""
+    assert num_crop_points in (21, 42, 63)
+    h = joint_angles.shape[0]
+    hand_idx = jnp.arange(h)
+
+    poses = [joint_angles]
+    if num_crop_points > 21:
+        neutral = jnp.broadcast_to(neutral_joint_angles(hand), (h, 22))
+        poses.append(neutral)
+    if num_crop_points > 42:
+        poses.append(jnp.zeros((h, 22)))
+
+    hand_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (h,) + x.shape), hand)
+    pts = [
+        landmarks_from_hand_pose(hand_b, angles, wrist, hand_idx) for angles in poses
+    ]
+    return jnp.concatenate(pts, axis=-2)
+
+
+def _visibility_counts(
+    cameras: cam.Camera,  # batch (V,)
+    landmarks_world: jnp.ndarray,  # (H, 21, 3)
+    src_kind: str,
+) -> jnp.ndarray:
+    """(H, V) count of landmarks visible in each camera.
+
+    Matches reference rank_hand_visibility_in_cameras
+    (perspective_crop.py:54-86): in-bounds in window coords AND z > 0.
+    """
+    # broadcast: cameras (V,), landmarks (H, 21, 3) -> (H, V, 21, ...)
+    lm = landmarks_world[:, None]  # (H, 1, 21, 3)
+    eye = cam.world_to_eye(cameras, lm)  # (H, V, 21, 3)
+    win = cam.eye_to_window(cameras, eye, src_kind)
+    w = cameras.width[:, None]
+    h = cameras.height[:, None]
+    vis = (
+        (win[..., 0] >= 0)
+        & (win[..., 0] <= w - 1)
+        & (win[..., 1] >= 0)
+        & (win[..., 1] <= h - 1)
+        & (eye[..., 2] > 0)
+    )
+    return jnp.sum(vis, axis=-1)
+
+
+def gen_crop_slots(
+    cameras: cam.Camera,  # batch (V,) source cameras with frame extrinsics
+    camera_angles: jnp.ndarray,  # (V,)
+    hand: HandModel,  # unbatched, millimeters
+    joint_angles: jnp.ndarray,  # (NUM_HANDS, 22)
+    wrist_transforms: jnp.ndarray,  # (NUM_HANDS, 4, 4) world, millimeters
+    hand_confidences: jnp.ndarray,  # (NUM_HANDS,)
+    crop_size: Tuple[int, int],
+    num_crop_points: int = 63,
+    min_num_crops: int = 1,
+    min_required_vis_landmarks: int = 19,
+    focal_multiplier: float = 0.8,
+    src_kind: str = cam.FISHEYE62,
+    mirror_right_hand: bool = True,
+) -> CropSlots:
+    """Vectorized equivalent of HandTracker.gen_crop_cameras."""
+    n_hands = joint_angles.shape[0]
+    hand_idx = jnp.arange(n_hands)
+
+    pts = _crop_points(hand, joint_angles, wrist_transforms, num_crop_points)
+    lm_actual = pts[:, :21]
+
+    counts = _visibility_counts(cameras, lm_actual, src_kind)  # (H, V)
+    eligible = counts >= min_required_vis_landmarks
+    masked_counts = jnp.where(eligible, counts, -1)
+
+    top_vals, top_idx = lax.top_k(masked_counts, MAX_VIEWS)  # (H, 2)
+    slot_valid = top_vals >= 0
+    # sort the two selected camera indices ascending when both valid
+    both = slot_valid[:, 0] & slot_valid[:, 1]
+    lo = jnp.minimum(top_idx[:, 0], top_idx[:, 1])
+    hi = jnp.maximum(top_idx[:, 0], top_idx[:, 1])
+    view_idx = jnp.where(
+        both[:, None], jnp.stack([lo, hi], axis=-1), top_idx
+    )
+
+    confident = hand_confidences >= CONFIDENCE_THRESHOLD
+    n_eligible = jnp.sum(slot_valid, axis=-1)
+    hand_valid = confident & (n_eligible >= min_num_crops)
+    view_valid = slot_valid & confident[:, None] & hand_valid[:, None]
+
+    # gather per-slot source camera world->eye + roll angle
+    flat_idx = view_idx.reshape(-1)
+    w2e = affine.rigid_inverse(cameras.T_world_from_eye)[flat_idx].reshape(
+        n_hands, MAX_VIEWS, 4, 4
+    )
+    angles = camera_angles[flat_idx].reshape(n_hands, MAX_VIEWS)
+
+    mirror = (
+        jnp.broadcast_to((hand_idx == hm.RIGHT_HAND_INDEX)[:, None], (n_hands, MAX_VIEWS))
+        if mirror_right_hand
+        else jnp.zeros((n_hands, MAX_VIEWS), bool)
+    )
+    crop_cams = crop.gen_crop_camera(
+        w2e,
+        jnp.broadcast_to(pts[:, None], (n_hands, MAX_VIEWS) + pts.shape[1:]),
+        crop_size,
+        mirror,
+        camera_angle_deg=angles,
+        focal_multiplier=focal_multiplier,
+    )
+    view_valid = view_valid & crop_cams.valid
+    # Slot 0 must stay the anchor view (cam0 of the sample). If crop
+    # synthesis failed for slot 0 the hand is dropped this frame (the
+    # reference would raise ValueError from gen_intrinsics there).
+    hand_valid = (
+        hand_valid
+        & view_valid[:, 0]
+        & (jnp.sum(view_valid, axis=-1) >= min_num_crops)
+    )
+    view_valid = view_valid & hand_valid[:, None]
+
+    return CropSlots(
+        view_idx=view_idx,
+        view_valid=view_valid,
+        hand_valid=hand_valid,
+        cameras=crop_cams,
+    )

@@ -1,0 +1,137 @@
+"""Data layer tests: TorchIdx round trips, sharding, prefetch."""
+
+import numpy as np
+import pytest
+
+from absolutetrack_tpu.data import (
+    PackedDataset,
+    PrefetchIterator,
+    ShardSampler,
+    TorchIdx,
+    find_dataset_folders,
+    write_torch_idx,
+)
+from absolutetrack_tpu.data.dataset import collate
+
+
+class TestIdxBin:
+    def test_uniform_round_trip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        elems = [rng.standard_normal((3, 4)).astype(np.float32) for _ in range(5)]
+        p = str(tmp_path / "field.torch.idx")
+        write_torch_idx(p, elems)
+        r = TorchIdx(p)
+        assert len(r) == 5
+        assert r.is_uniform and r.shape == (5, 3, 4)
+        for i in range(5):
+            np.testing.assert_array_equal(r[i], elems[i])
+        np.testing.assert_array_equal(r.as_array(), np.stack(elems))
+
+    def test_non_uniform_round_trip(self, tmp_path):
+        elems = [np.arange(n, dtype=np.int64) for n in (3, 1, 7)]
+        p = str(tmp_path / "ragged.torch.idx")
+        write_torch_idx(p, elems)
+        r = TorchIdx(p)
+        assert not r.is_uniform
+        for i, e in enumerate(elems):
+            np.testing.assert_array_equal(r[i], e)
+            assert r.element_shape(i) == e.shape
+
+    def test_uint8_round_trip(self, tmp_path):
+        elems = [np.full((2, 2), i, np.uint8) for i in range(3)]
+        p = str(tmp_path / "mono.torch.idx")
+        write_torch_idx(p, elems)
+        r = TorchIdx(p)
+        assert r.dtype == np.uint8
+        np.testing.assert_array_equal(r[2], elems[2])
+
+    def test_msgpack_objects(self, tmp_path):
+        objs = [{"a": 1, "b": [1.5, 2.5]}, {"a": 2, "c": "hi"}]
+        p = str(tmp_path / "labels.torch.idx")
+        write_torch_idx(p, objs)
+        r = TorchIdx(p)
+        assert r.is_object
+        assert r[0] == objs[0]
+        assert r[1] == objs[1]
+
+    def test_bad_magic_raises(self, tmp_path):
+        p = tmp_path / "bad.torch.idx"
+        np.zeros(10, np.int64).tofile(str(p))
+        with pytest.raises(ValueError):
+            TorchIdx(str(p))
+
+
+class TestDataset:
+    def _make_folder(self, root, name, n):
+        d = root / name / "testing"
+        d.mkdir(parents=True)
+        write_torch_idx(
+            str(d / "mono.torch.idx"),
+            [np.full((4, 4), i, np.uint8) for i in range(n)],
+        )
+        write_torch_idx(str(d / "labels.torch.idx"), [{"i": i} for i in range(n)])
+        return str(d)
+
+    def test_discovery_and_concat(self, tmp_path):
+        self._make_folder(tmp_path, "rec_a", 3)
+        self._make_folder(tmp_path, "rec_b", 2)
+        folders = find_dataset_folders(str(tmp_path), ["mono", "labels"])
+        assert len(folders) == 2
+        ds = PackedDataset(folders, ["mono", "labels"])
+        assert len(ds) == 5
+        s = ds[4]
+        assert s["labels"]["i"] == 1
+        assert s["mono"][0, 0] == 1
+
+    def test_shard_sampler_covers_all_equally(self):
+        world = 3
+        shards = [ShardSampler(10, r, world) for r in range(world)]
+        lens = {len(s) for s in shards}
+        assert lens == {4}  # ceil(10/3), padded
+        seen = set()
+        for s in shards:
+            seen.update(s.indices.tolist())
+        assert seen == set(range(10))
+
+    def test_shard_sampler_deterministic_shuffle(self):
+        a = ShardSampler(20, 0, 2, shuffle=True, seed=7)
+        b = ShardSampler(20, 0, 2, shuffle=True, seed=7)
+        np.testing.assert_array_equal(a.indices, b.indices)
+
+    def test_collate(self):
+        batch = collate(
+            [
+                {"x": np.ones((2,)), "y": {"i": 0}},
+                {"x": np.zeros((2,)), "y": {"i": 1}},
+            ]
+        )
+        assert batch["x"].shape == (2, 2)
+        assert batch["y"] == [{"i": 0}, {"i": 1}]
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        it = PrefetchIterator(range(50), max_prefetch=4)
+        assert list(it) == list(range(50))
+
+    def test_transform_applied(self):
+        it = PrefetchIterator(range(5), transform=lambda x: x * 2)
+        assert list(it) == [0, 2, 4, 6, 8]
+
+    def test_exception_propagates(self):
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = PrefetchIterator(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            for _ in it:
+                pass
+
+    def test_close_stops_worker(self):
+        import itertools
+
+        it = PrefetchIterator(itertools.count(), max_prefetch=2)
+        assert next(it) == 0
+        it.close()  # must not hang

@@ -1,0 +1,243 @@
+"""Numerical parity: torch checkpoint -> converter -> JAX model.
+
+Builds torch module stacks with the reference's state-dict naming (stem +
+resnet stages + proj; fusion/temporal 1x1 stacks; skeleton encoder;
+regressor head), randomizes ALL parameters including BN running stats,
+converts with ``convert_torch_state_dict``, and asserts the JAX modules
+reproduce torch's eval-mode outputs. This validates layer numerics, BN
+folding, layout transposes, and the name mapping in one shot -- the path a
+real ``pretrained_weights.torch`` will take.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from absolutetrack_tpu.models import ModelConfig  # noqa: E402
+from absolutetrack_tpu.models.backbone import backbone_apply  # noqa: E402
+from absolutetrack_tpu.models.fusion import fusion_convs  # noqa: E402
+from absolutetrack_tpu.models.skeleton_encoder import skeleton_encoder_apply  # noqa: E402
+from absolutetrack_tpu.models.regressor import regress_poses  # noqa: E402
+from absolutetrack_tpu.models.layers import conv2d  # noqa: E402
+from absolutetrack_tpu.models.weights import convert_torch_state_dict  # noqa: E402
+
+CFG = ModelConfig()
+
+
+def _randomize(module: nn.Module, gen: torch.Generator):
+    """Random weights AND random BN running stats (so folding is tested)."""
+    for m in module.modules():
+        if isinstance(m, (nn.Conv2d, nn.Linear)):
+            with torch.no_grad():
+                m.weight.normal_(0, 0.1, generator=gen)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.1, generator=gen)
+        elif isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.normal_(1.0, 0.1, generator=gen)
+                m.bias.normal_(0, 0.1, generator=gen)
+                m.running_mean.normal_(0, 0.1, generator=gen)
+                m.running_var.uniform_(0.5, 1.5, generator=gen)
+
+
+class TorchBasicBlock(nn.Module):
+    """Standard pre-activation-free ResNet basic block (3x3,3x3 + skip)."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU()
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + idt)
+
+
+def _build_torch_tree():
+    """Assemble torch modules under the reference's attribute names."""
+    f = 32
+    stem = nn.Sequential(
+        nn.Conv2d(1, f, 3, padding=1), nn.BatchNorm2d(f), nn.ReLU(), nn.MaxPool2d(2, 2)
+    )
+    blocks, in_p, out_p, strides = (2, 3, 5, 2), (32, 32, 64, 128), (32, 64, 128, 256), (1, 2, 2, 2)
+    layers = nn.ModuleList([stem])
+    for n, ci, co, s in zip(blocks, in_p, out_p, strides):
+        stage = [TorchBasicBlock(ci, co, s)] + [TorchBasicBlock(co, co) for _ in range(n - 1)]
+        layers.append(nn.Sequential(*stage))
+
+    class ResNetBaseLike(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self._layers = layers
+
+        def forward(self, x):
+            for l in self._layers:
+                x = l(x)
+            return x
+
+    backbone = nn.Sequential(ResNetBaseLike(), nn.Conv2d(256, 72, 1))
+    fusion = nn.Sequential(
+        nn.Conv2d(144, 108, 1), nn.BatchNorm2d(108), nn.ReLU(),
+        nn.Conv2d(108, 72, 1), nn.BatchNorm2d(72), nn.ReLU(),
+        nn.Conv2d(72, 72, 1),
+    )
+    temporal = nn.Sequential(
+        nn.Conv2d(90, 90, 1), nn.ReLU(), nn.Conv2d(90, 90, 1), nn.ReLU(), nn.Conv2d(90, 90, 1)
+    )
+
+    class ViewLayer(nn.Module):
+        def forward(self, x):
+            return x.view(-1, 4, 6, 6)
+
+    skel = nn.Sequential(nn.Linear(132, 144), ViewLayer(), nn.BatchNorm2d(4), nn.ReLU())
+
+    def reg_head(cin, nout):
+        return nn.Sequential(
+            TorchBasicBlock(cin, cin), TorchBasicBlock(cin, cin),
+            nn.Conv2d(cin, nout, 1), nn.AdaptiveAvgPool2d((1, 1)),
+        )
+
+    root = nn.Module()
+    fe = nn.Module()
+    fe._image_backbone = backbone
+    fe._multi_view_fusion = fusion
+    root._feature_extractor = fe
+    tm = nn.Module()
+    tm._temporal_module = temporal
+    root._temporal = tm
+    se = nn.Module()
+    se._layers = skel
+    root._skeleton_enc = se
+    rk = nn.Module()
+    rk._pose_regression_layers = reg_head(76, 62)
+    root._regressor_k = rk
+    ru = nn.Module()
+    ru._pose_regression_layers = reg_head(72, 63)
+    root._regressor_u = ru
+
+    gen = torch.Generator().manual_seed(0)
+    _randomize(root, gen)
+    root.eval()
+    return root
+
+
+@pytest.fixture(scope="module")
+def torch_tree():
+    return _build_torch_tree()
+
+
+@pytest.fixture(scope="module")
+def jax_params(torch_tree):
+    return jax.tree.map(jnp.asarray, convert_torch_state_dict(torch_tree.state_dict(), CFG))
+
+
+def _nchw(x):
+    return torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+
+
+def _to_nhwc(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+class TestParity:
+    def test_backbone(self, torch_tree, jax_params):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32)
+        with torch.no_grad():
+            want = _to_nhwc(torch_tree._feature_extractor._image_backbone(_nchw(x)))
+        got = np.asarray(backbone_apply(jax_params["backbone"], jnp.asarray(x), CFG))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_fusion_convs(self, torch_tree, jax_params):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((3, 6, 6, 144)).astype(np.float32)
+        with torch.no_grad():
+            want = _to_nhwc(torch_tree._feature_extractor._multi_view_fusion(_nchw(x)))
+        got = np.asarray(fusion_convs(jax_params["fusion"], jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_temporal_convs(self, torch_tree, jax_params):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 6, 6, 90)).astype(np.float32)
+        with torch.no_grad():
+            want = _to_nhwc(torch_tree._temporal._temporal_module(_nchw(x)))
+        # our temporal step applies the same stack; test the conv chain
+        got = jnp.asarray(x)
+        blocks = jax_params["temporal"]["blocks"]
+        for i, p in enumerate(blocks):
+            got = conv2d(p, got)
+            if i != len(blocks) - 1:
+                got = jax.nn.relu(got)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_skeleton_encoder(self, torch_tree, jax_params):
+        rng = np.random.default_rng(3)
+        axes = rng.standard_normal((2, 22, 3)).astype(np.float32)
+        rest = rng.standard_normal((2, 22, 3)).astype(np.float32)
+        with torch.no_grad():
+            feats = torch.cat(
+                [torch.from_numpy(axes), torch.from_numpy(rest)], dim=-1
+            ).reshape(2, -1)
+            want = _to_nhwc(torch_tree._skeleton_enc._layers(feats))
+        got = np.asarray(
+            skeleton_encoder_apply(
+                jax_params["skeleton_encoder"], jnp.asarray(axes), jnp.asarray(rest), CFG
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_regressor_head_raw(self, torch_tree, jax_params):
+        """Raw pooled head output parity (before decoders)."""
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, 6, 6, 76)).astype(np.float32)
+        with torch.no_grad():
+            want = (
+                torch_tree._regressor_k._pose_regression_layers(_nchw(x))
+                .flatten(1)
+                .numpy()
+            )
+        # decode-free comparison: run our head manually
+        from absolutetrack_tpu.models.layers import basic_block
+
+        got = jnp.asarray(x)
+        for p in jax_params["regressor_k"]["blocks"]:
+            got = basic_block(p, got)
+        got = conv2d(jax_params["regressor_k"]["out"], got)
+        got = jnp.mean(got, axis=(1, 2))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_regressor_decoded(self, torch_tree, jax_params):
+        """Decoded outputs are consistent with the raw vector semantics."""
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 6, 6, 72)).astype(np.float32)
+        out = regress_poses(
+            jax_params["regressor_u"], jnp.asarray(x), CFG, predict_skel_scale=True
+        )
+        with torch.no_grad():
+            raw = (
+                torch_tree._regressor_u._pose_regression_layers(_nchw(x))
+                .flatten(1)
+                .numpy()
+            )
+        np.testing.assert_allclose(
+            np.asarray(out.joint_angles[:, :20]), raw[:, :20], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.skel_scales), np.exp(raw[:, 41]), rtol=1e-4
+        )
