@@ -1,0 +1,89 @@
+"""Known-skeleton evaluation over recordings (reference run_eval_known_skeleton.py).
+
+Walks a data root for `*.json` label files (with optional sibling `.mp4`),
+tracks each sequence with GT-pose-driven crop cameras and the user's own
+hand model, and writes per-sequence result `.npy` files consumable by
+``load_eval.py``. Sequences shard across processes/hosts by (rank,
+world_size) instead of a multiprocessing Pool.
+
+Usage:
+  python -m absolutetrack_tpu.apps.run_eval_known_skeleton \
+      --input-dir /path/to/raw_data/real --output-dir tmp/eval_known \
+      [--checkpoint pretrained_weights.torch] [--rank 0 --world-size 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import os
+import pickle
+
+import numpy as np
+
+from . import eval_lib
+from ..tracker.video_data import load_labels
+
+
+def find_label_files(input_dir: str, test_only: bool = True):
+    out = []
+    for cur, _dirs, files in sorted(os.walk(input_dir)):
+        if test_only and "testing" not in cur:
+            continue
+        for f in sorted(fnmatch.filter(files, "*.json")):
+            out.append(os.path.join(cur, f))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-dir", default="/root/reference/sample_data")
+    ap.add_argument("--output-dir", default="tmp/eval_results_known_skeleton")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--world-size", type=int, default=1)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--test-only", action="store_true")
+    ap.add_argument("--override", action="store_true")
+    args = ap.parse_args(argv)
+
+    label_files = find_label_files(args.input_dir, args.test_only)
+    label_files = label_files[args.rank :: args.world_size]
+    print(f"[rank {args.rank}] {len(label_files)} sequences")
+
+    model = eval_lib.build_model(args.checkpoint)
+    errors = []
+    for lf in label_files:
+        rel = os.path.relpath(lf, args.input_dir)[:-5]
+        out_path = os.path.join(args.output_dir, rel + ".npy")
+        if not args.override and os.path.exists(out_path):
+            print(f"skip {rel} (exists)")
+            continue
+        labels = load_labels(lf)
+        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+        res = eval_lib.track_recording(
+            model, labels, frames, min_num_crops=1, max_frames=args.max_frames
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(
+                {
+                    "tracked_keypoints": res.tracked_keypoints,
+                    "gt_keypoints": res.gt_keypoints,
+                    "valid_tracking": res.valid_tracking,
+                },
+                f,
+            )
+        err = np.linalg.norm(
+            (res.gt_keypoints - res.tracked_keypoints)[res.valid_tracking], axis=-1
+        ).mean(-1)
+        errors.append(err)
+        print(f"{rel}: mean keypoint error {err.mean():.2f} mm "
+              f"({res.valid_tracking.sum()} tracked)")
+
+    if errors:
+        print(f"Final mean error: {np.concatenate(errors).mean():.3f} mm")
+
+
+if __name__ == "__main__":
+    main()

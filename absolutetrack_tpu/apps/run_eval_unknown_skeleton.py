@@ -1,0 +1,136 @@
+"""Unknown-skeleton eval: two-pass scale calibration then tracking.
+
+Reference protocol (run_eval_unknown_skeleton.py:49-153):
+  pass 1: first N=30 two-view frames through the scale-prediction branch
+          with the GENERIC hand model driving crops; mean predicted scale
+          -> scaled generic skeleton;
+  pass 2: reset history and re-track the sequence known-skeleton style with
+          the calibrated skeleton.
+
+This build additionally supports a robust least-squares upgrade over the
+calibration window (--calib-mode lstsq): instead of the plain mean, solve
+argmin_s sum_t w_t (s - s_t)^2 with inlier reweighting (one Huber IRLS
+round) -- a windowed estimator the reference's simple mean approximates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+from . import eval_lib
+from .run_eval_known_skeleton import find_label_files
+from ..kinematics.hand_model import scaled_hand_model
+from ..tracker.video_data import load_labels
+
+CALIB_FRAMES = 30  # reference run_eval_unknown_skeleton.py:58
+
+
+def robust_scale(scales: np.ndarray, mode: str = "mean") -> float:
+    """Aggregate per-frame scale predictions over the calibration window."""
+    if len(scales) == 0:
+        return 1.0
+    if mode == "mean":
+        return float(scales.mean())
+    # one IRLS round with Huber weights around the median
+    med = np.median(scales)
+    resid = np.abs(scales - med)
+    mad = np.median(resid) + 1e-6
+    c = 1.345 * 1.4826 * mad
+    w = np.minimum(1.0, c / np.maximum(resid, 1e-12))
+    return float((w * scales).sum() / w.sum())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input-dir", default="/root/reference/sample_data")
+    ap.add_argument("--output-dir", default="tmp/eval_results_unknown_skeleton")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--generic-hand-model",
+        default="/root/reference/dataset/generic_hand_model.json",
+    )
+    ap.add_argument("--calib-mode", choices=["mean", "lstsq"], default="mean")
+    ap.add_argument("--rank", type=int, default=0)
+    ap.add_argument("--world-size", type=int, default=1)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--test-only", action="store_true")
+    ap.add_argument("--override", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..kinematics.hand_model import load_hand_model_json
+
+    generic = load_hand_model_json(args.generic_hand_model)
+
+    label_files = find_label_files(args.input_dir, args.test_only)
+    label_files = label_files[args.rank :: args.world_size]
+    model = eval_lib.build_model(args.checkpoint)
+
+    errors = []
+    for lf in label_files:
+        rel = os.path.relpath(lf, args.input_dir)[:-5]
+        out_path = os.path.join(args.output_dir, rel + ".npy")
+        if not args.override and os.path.exists(out_path):
+            print(f"skip {rel} (exists)")
+            continue
+        labels = load_labels(lf)
+
+        # pass 1: calibrate on the first frames (stereo required)
+        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+        calib = eval_lib.track_recording(
+            model,
+            labels,
+            frames,
+            hand_model_mm=generic,
+            calibrate_scale=True,
+            max_frames=CALIB_FRAMES,
+        )
+        mask = calib.valid_tracking
+        per_hand_scale = np.ones(2, np.float32)
+        for h in range(2):
+            s = calib.predicted_scales[h][mask[h]]
+            per_hand_scale[h] = robust_scale(s, args.calib_mode)
+        # the reference calibrates a single skeleton for the user (mean of
+        # available predictions across hands)
+        valid_scales = calib.predicted_scales[mask]
+        user_scale = robust_scale(valid_scales, args.calib_mode)
+        calibrated = scaled_hand_model(generic, user_scale)
+        print(f"{rel}: calibrated scale {user_scale:.4f} "
+              f"({mask.sum()} calib frames)")
+
+        # pass 2: fresh tracker state, known-skeleton tracking
+        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+        res = eval_lib.track_recording(
+            model,
+            labels,
+            frames,
+            hand_model_mm=calibrated,
+            min_num_crops=1,
+            max_frames=args.max_frames,
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(
+                {
+                    "tracked_keypoints": res.tracked_keypoints,
+                    "gt_keypoints": res.gt_keypoints,
+                    "valid_tracking": res.valid_tracking,
+                    "calibrated_scale": user_scale,
+                },
+                f,
+            )
+        err = np.linalg.norm(
+            (res.gt_keypoints - res.tracked_keypoints)[res.valid_tracking], axis=-1
+        ).mean(-1)
+        errors.append(err)
+        print(f"{rel}: mean keypoint error {err.mean():.2f} mm")
+
+    if errors:
+        print(f"Final mean error: {np.concatenate(errors).mean():.3f} mm")
+
+
+if __name__ == "__main__":
+    main()

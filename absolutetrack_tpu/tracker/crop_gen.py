@@ -181,3 +181,57 @@ def gen_crop_slots(
         hand_valid=hand_valid,
         cameras=crop_cams,
     )
+
+
+def gen_crop_slots_from_2d(
+    cameras: cam.Camera,  # batch (V,) source cameras (V == MAX_VIEWS)
+    keypoints_2d: jnp.ndarray,  # (NUM_HANDS, V, 21, 2) window coords
+    keypoints_valid: jnp.ndarray,  # (NUM_HANDS, V) bool
+    crop_size: Tuple[int, int],
+    focal_multiplier: float = 0.8,
+    src_kind: str = cam.FISHEYE62,
+    mirror_right_hand: bool = True,
+) -> CropSlots:
+    """Crop cameras from per-view 2D keypoints (the live-demo path).
+
+    Vectorized equivalent of the fork's
+    ``gen_crop_cameras_from_stereo_camera_with_window_hand_pose``
+    (lib/tracker/tracker.py:111-219): unproject each view's 2D keypoints to
+    unit-depth pseudo-3D points in world space, then synthesize a look-at
+    crop camera per (hand, view) bounding those points; right hands mirror.
+
+    View slot v uses source camera v directly (stereo rig -> MAX_VIEWS=2).
+    """
+    n_hands = keypoints_2d.shape[0]
+    v = keypoints_2d.shape[1]
+    assert v == MAX_VIEWS
+
+    rays = cam.window_to_eye(cameras, keypoints_2d, src_kind)  # (H, V, 21, 3)
+    pts_world = cam.eye_to_world(cameras, rays)
+
+    w2e = affine.rigid_inverse(cameras.T_world_from_eye)  # (V, 4, 4)
+    w2e = jnp.broadcast_to(w2e, (n_hands, v, 4, 4))
+
+    hand_idx = jnp.arange(n_hands)
+    mirror = (
+        jnp.broadcast_to((hand_idx == hm.RIGHT_HAND_INDEX)[:, None], (n_hands, v))
+        if mirror_right_hand
+        else jnp.zeros((n_hands, v), bool)
+    )
+    crop_cams = crop.gen_crop_camera(
+        w2e,
+        pts_world,
+        crop_size,
+        mirror,
+        camera_angle_deg=0.0,
+        focal_multiplier=focal_multiplier,
+    )
+    view_valid = keypoints_valid & crop_cams.valid
+    hand_valid = view_valid[:, 0]  # slot 0 anchors the sample
+    view_valid = view_valid & hand_valid[:, None]
+    return CropSlots(
+        view_idx=jnp.broadcast_to(jnp.arange(v), (n_hands, v)),
+        view_valid=view_valid,
+        hand_valid=hand_valid,
+        cameras=crop_cams,
+    )

@@ -29,7 +29,7 @@ from ..models.config import ModelConfig
 from ..models.temporal import TemporalState
 from ..models.umetrack import FrameInputs, SkeletonInputs, UmeTrackModel
 from ..ops.resample import warp_perspective_crop
-from .crop_gen import CropSlots, gen_crop_slots
+from .crop_gen import CropSlots, gen_crop_slots, gen_crop_slots_from_2d
 
 MM_TO_M = 0.001
 M_TO_MM = 1000.0
@@ -261,5 +261,41 @@ class HandTracker:
         frame = self.make_inputs(state, images, cameras, slots, src_kind)
         new_temporal, out = self.model.regress_pose_pred_skel_scale(
             state.temporal, frame
+        )
+        return self._finish(state, new_temporal, slots, out)
+
+    def track_frame_from_2d(
+        self,
+        state: TrackerState,
+        images: jnp.ndarray,  # (V, H, W) stereo views
+        cameras: cam.Camera,  # batch (V,) == MAX_VIEWS
+        hand_model_mm: HandModel,
+        keypoints_2d: jnp.ndarray,  # (NUM_HANDS, V, 21, 2) window coords
+        keypoints_valid: jnp.ndarray,  # (NUM_HANDS, V) bool
+        src_kind: str = cam.FISHEYE62,
+    ) -> Tuple[TrackerState, TrackFrameResult]:
+        """Live-demo step: crops come from per-view 2D detections
+        (MediaPipe), not a previous 3D pose (reference demo/ume_tracker.py
+        via tracker.py:111-219)."""
+        slots = gen_crop_slots_from_2d(
+            cameras,
+            keypoints_2d,
+            keypoints_valid,
+            self.opts.crop_size,
+            focal_multiplier=self.opts.hand_ratio_in_crop,
+            src_kind=src_kind,
+        )
+        frame = self.make_inputs(state, images, cameras, slots, src_kind)
+        hand_model_m = scaled_hand_model(hand_model_mm, MM_TO_M)
+        skel = SkeletonInputs(
+            joint_rotation_axes=jnp.broadcast_to(
+                hand_model_m.joint_rotation_axes, (1, 22, 3)
+            ),
+            joint_rest_positions=jnp.broadcast_to(
+                hand_model_m.joint_rest_positions, (1, 22, 3)
+            ),
+        )
+        new_temporal, out = self.model.regress_pose_use_skeleton(
+            state.temporal, frame, skel
         )
         return self._finish(state, new_temporal, slots, out)

@@ -1,0 +1,167 @@
+"""Benchmark: tracked frames/s/chip for the full per-frame pipeline.
+
+Measures the flagship end-to-end tracking step on the real device:
+4 fisheye views (480x636) -> crop-camera synthesis from the previous pose
+-> fisheye->pinhole warp of 2 hands x 2 views -> CNN + FTL fusion +
+ConvRNN + regressor -> 3D pose, all inside ONE jit.
+
+Baseline: the same per-frame work the PyTorch reference does on CPU
+(cv2.remap warps + eval-mode torch forward of an equivalent network),
+measured live here. Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_tpu_step():
+    import jax
+    import jax.numpy as jnp
+
+    from absolutetrack_tpu.models import ModelConfig, UmeTrackModel, init_umetrack_params
+    from absolutetrack_tpu.tracker import HandTracker, TrackerConfig
+    from absolutetrack_tpu.tracker.video_data import load_labels
+
+    labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
+    cfg = ModelConfig()
+    params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+    model = UmeTrackModel(params, cfg)
+    tracker = HandTracker(model, TrackerConfig())
+
+    t0 = 100
+    cams = labels.cameras_at(t0)
+    angles = jnp.asarray(labels.camera_angles)
+    hand = labels.hand_model
+    ja = jnp.asarray(labels.joint_angles[t0])
+    wr = jnp.asarray(labels.wrist_transforms[t0])
+    conf = jnp.asarray(labels.hand_confidences[t0])
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0, 255, (labels.num_views, 480, 636)).astype(np.float32)
+    )
+
+    @jax.jit
+    def step(state, images):
+        return tracker.track_frame(state, images, cams, angles, hand, ja, wr, conf)
+
+    state = tracker.init_state()
+    return step, state, images
+
+
+def bench_tpu(iters: int = 50) -> float:
+    import jax
+
+    step, state, images = build_tpu_step()
+    # warmup / compile
+    state2, res = step(state, images)
+    jax.block_until_ready(res.wrist_xfs)
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(iters):
+        s, res = step(s, images)
+    jax.block_until_ready(res.wrist_xfs)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
+def bench_torch_cpu(iters: int = 10) -> float:
+    """Reference-equivalent per-frame CPU cost: cv2 warps + torch forward."""
+    import cv2
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(1, __import__("os").cpu_count() or 1))
+
+    class Block(nn.Module):
+        def __init__(self, ci, co, s=1):
+            super().__init__()
+            self.c1 = nn.Conv2d(ci, co, 3, s, 1, bias=False)
+            self.b1 = nn.BatchNorm2d(co)
+            self.c2 = nn.Conv2d(co, co, 3, 1, 1, bias=False)
+            self.b2 = nn.BatchNorm2d(co)
+            self.d = (
+                nn.Sequential(nn.Conv2d(ci, co, 1, s, bias=False), nn.BatchNorm2d(co))
+                if (s != 1 or ci != co)
+                else None
+            )
+
+        def forward(self, x):
+            i = x if self.d is None else self.d(x)
+            y = torch.relu(self.b1(self.c1(x)))
+            return torch.relu(self.b2(self.c2(y)) + i)
+
+    def stage(n, ci, co, s):
+        return nn.Sequential(Block(ci, co, s), *[Block(co, co) for _ in range(n - 1)])
+
+    backbone = nn.Sequential(
+        nn.Conv2d(1, 32, 3, padding=1), nn.BatchNorm2d(32), nn.ReLU(), nn.MaxPool2d(2),
+        stage(2, 32, 32, 1), stage(3, 32, 64, 2), stage(5, 64, 128, 2),
+        stage(2, 128, 256, 2), nn.Conv2d(256, 72, 1),
+    )
+    fusion = nn.Sequential(
+        nn.Conv2d(144, 108, 1), nn.BatchNorm2d(108), nn.ReLU(),
+        nn.Conv2d(108, 72, 1), nn.BatchNorm2d(72), nn.ReLU(), nn.Conv2d(72, 72, 1),
+    )
+    temporal = nn.Sequential(
+        nn.Conv2d(90, 90, 1), nn.ReLU(), nn.Conv2d(90, 90, 1), nn.ReLU(),
+        nn.Conv2d(90, 90, 1),
+    )
+    head = nn.Sequential(
+        Block(76, 76), Block(76, 76), nn.Conv2d(76, 62, 1), nn.AdaptiveAvgPool2d(1)
+    )
+    for m in (backbone, fusion, temporal, head):
+        m.eval()
+
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 255, (480, 636)).astype(np.uint8)
+    map_x = rng.uniform(0, 635, (96, 96)).astype(np.float32)
+    map_y = rng.uniform(0, 479, (96, 96)).astype(np.float32)
+
+    def frame():
+        crops = []
+        for _ in range(4):  # 2 hands x 2 views
+            crops.append(cv2.remap(src, map_x, map_y, cv2.INTER_LINEAR))
+        x = torch.from_numpy(np.stack(crops)).float().unsqueeze(1) / 255.0
+        with torch.no_grad():
+            f = backbone(x)  # (4, 72, 6, 6)
+            f2 = fusion(torch.cat([f[0::2], f[1::2]], dim=1))
+            t = temporal(torch.cat([torch.zeros(2, 18, 6, 6), f2], dim=1))
+            head(torch.cat([t[:, 18:], torch.zeros(2, 4, 6, 6)], dim=1))
+            u, s, v = torch.svd(torch.eye(3).expand(2, 3, 3))
+
+    frame()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frame()
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    tpu_fps = bench_tpu()
+    try:
+        base_fps = bench_torch_cpu()
+        vs = tpu_fps / base_fps
+    except Exception as e:  # noqa: BLE001
+        print(f"baseline failed: {e}", file=sys.stderr)
+        vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "tracked_frames_per_s_per_chip_4view_2hand",
+                "value": round(tpu_fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": None if vs is None else round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

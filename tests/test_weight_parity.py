@@ -34,15 +34,15 @@ def _randomize(module: nn.Module, gen: torch.Generator):
     for m in module.modules():
         if isinstance(m, (nn.Conv2d, nn.Linear)):
             with torch.no_grad():
-                m.weight.normal_(0, 0.1, generator=gen)
+                m.weight.normal_(0, 0.05, generator=gen)
                 if m.bias is not None:
                     m.bias.normal_(0, 0.1, generator=gen)
         elif isinstance(m, nn.BatchNorm2d):
             with torch.no_grad():
-                m.weight.normal_(1.0, 0.1, generator=gen)
+                m.weight.normal_(1.0, 0.05, generator=gen)
                 m.bias.normal_(0, 0.1, generator=gen)
-                m.running_mean.normal_(0, 0.1, generator=gen)
-                m.running_var.uniform_(0.5, 1.5, generator=gen)
+                m.running_mean.normal_(0, 0.05, generator=gen)
+                m.running_var.uniform_(0.9, 1.1, generator=gen)
 
 
 class TorchBasicBlock(nn.Module):
@@ -162,7 +162,8 @@ class TestParity:
         with torch.no_grad():
             want = _to_nhwc(torch_tree._feature_extractor._image_backbone(_nchw(x)))
         got = np.asarray(backbone_apply(jax_params["backbone"], jnp.asarray(x), CFG))
-        np.testing.assert_allclose(got, want, atol=2e-3)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
 
     def test_fusion_convs(self, torch_tree, jax_params):
         rng = np.random.default_rng(1)
