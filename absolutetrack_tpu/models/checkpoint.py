@@ -1,0 +1,56 @@
+"""Parameter checkpoint save/load.
+
+The reference only ever loads a torch state dict (model_loader.py:84-88).
+This framework adds native round-trippable checkpoints:
+  * ``save_params`` / ``load_params``: flax msgpack serialization of the
+    param tree (single file, host-agnostic);
+  * ``load_any``: dispatch between native checkpoints and torch state
+    dicts (via weights.convert_torch_state_dict) on magic/extension.
+
+Tracker/temporal state is NOT checkpointed -- it is an explicit pytree the
+caller owns (resume = re-run with a fresh state; per-sequence eval results
+double as resume points exactly like the reference's skip-if-exists logic,
+run_eval_known_skeleton.py:54-56, which our eval apps reproduce).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+
+
+def save_params(path: str, params: Dict) -> None:
+    from flax import serialization
+
+    data = serialization.to_bytes(jax.tree.map(np.asarray, params))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_params(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
+    from flax import serialization
+
+    from .umetrack import init_umetrack_params
+
+    template = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+    with open(path, "rb") as f:
+        params = serialization.from_bytes(template, f.read())
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_any(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
+    """Native .msgpack checkpoint or a torch state dict."""
+    if path.endswith((".torch", ".pt", ".pth")):
+        from .weights import load_torch_checkpoint
+
+        return jax.tree.map(jnp.asarray, load_torch_checkpoint(path, cfg))
+    return load_params(path, cfg)

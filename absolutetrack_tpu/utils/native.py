@@ -171,3 +171,9 @@ class FrameRing:
 
     def __len__(self) -> int:
         return int(self.lib.at_ring_size(self._addr))
+
+    def detach(self) -> None:
+        """Drop the buffer view so the underlying shared memory can close
+        (numpy keeps an exported pointer otherwise)."""
+        self._addr = None
+        self._buf = None

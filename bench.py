@@ -55,7 +55,7 @@ def build_tpu_step():
     return step, state, images
 
 
-def bench_tpu(iters: int = 50) -> float:
+def bench_tpu(iters: int = 30) -> float:
     import jax
 
     step, state, images = build_tpu_step()
