@@ -1,0 +1,134 @@
+"""Training entry point: fine-tune/train UmeTrack on packed sequences.
+
+A capability the reference lacks entirely (it only loads a frozen
+checkpoint). Drives packed torch_data windows through the sharded train
+step: batch windows -> ('data', 'model') mesh -> scan-unrolled sequence
+loss (FK landmark NLL + pose terms) -> adamw.
+
+Usage:
+  python -m absolutetrack_tpu.apps.train --data-root tmp/torch_data \
+      --steps 100 --batch 8 [--checkpoint init.msgpack] [--save out.msgpack]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PackedDataset, PrefetchIterator, ShardSampler, find_dataset_folders
+from ..data.transform import preprocess_packed
+from ..kinematics.hand_model import HandModel
+from ..models import ModelConfig, init_umetrack_params
+from ..models.checkpoint import load_any, save_params
+from ..parallel import make_mesh
+from ..training import make_train_step
+from ..training.train import (
+    SequenceBatch,
+    TrainState,
+    batch_shardings,
+    make_optimizer,
+)
+
+
+def windows_to_batch(seqs) -> tuple[SequenceBatch, HandModel]:
+    """Stack preprocessed PackedSequences into a time-major SequenceBatch."""
+    t = seqs[0].left_images.shape[0]
+    b = len(seqs)
+
+    def stack(field):
+        return jnp.stack([getattr(s, field) for s in seqs], axis=1)  # (T, B, ...)
+
+    use_mem = np.ones((t, b), bool)
+    use_mem[0] = False
+    hand = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[s.gt_hand_model for s in seqs]
+    )
+    batch = SequenceBatch(
+        images=stack("left_images"),
+        intrinsics=stack("intrinsics"),
+        extrinsics=stack("extrinsics"),
+        use_memory=jnp.asarray(use_mem),
+        sample_mask=jnp.ones((t, b), bool),
+        hand_idx=jnp.stack([s.hand_idx for s in seqs]),
+        skel_axes=hand.joint_rotation_axes,
+        skel_rest=hand.joint_rest_positions,
+        gt_joint_angles=stack("gt_joint_angles"),
+        gt_wrist=stack("gt_wrist"),
+        gt_log_scale=jnp.zeros(b),
+    )
+    return batch, hand
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", default="tmp/torch_data")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--branch", choices=["known", "unknown"], default="known")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--save", default="tmp/checkpoints/latest.msgpack")
+    ap.add_argument("--save-every", type=int, default=50)
+    ap.add_argument("--model-axis", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    folders = find_dataset_folders(args.data_root, ["mono", "labels"])
+    if not folders:
+        raise SystemExit(f"no packed data under {args.data_root}")
+    ds = PackedDataset(folders, ["mono", "labels"])
+    print(f"{len(ds)} windows from {len(folders)} folders")
+
+    cfg = ModelConfig()
+    if args.checkpoint:
+        params = load_any(args.checkpoint, cfg)
+    else:
+        params = init_umetrack_params(jax.random.PRNGKey(args.seed), cfg)
+
+    n_dev = len(jax.devices())
+    model_ax = args.model_axis if n_dev % args.model_axis == 0 else 1
+    mesh = make_mesh(data=n_dev // model_ax, model=model_ax)
+    opt = make_optimizer(args.lr)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def batches():
+        rng = np.random.default_rng(args.seed)
+        while True:
+            idx = rng.integers(0, len(ds), args.batch)
+            seqs = [
+                preprocess_packed(np.asarray(ds[int(i)]["mono"]), ds[int(i)]["labels"])
+                for i in idx
+            ]
+            yield windows_to_batch(seqs)
+
+    with mesh:
+        sh = batch_shardings(mesh)
+        step = make_train_step(mesh, cfg, opt, branch=args.branch)
+        it = PrefetchIterator(batches(), max_prefetch=2)
+        t0 = time.time()
+        for i in range(args.steps):
+            batch, hand = next(it)
+            batch_dev = jax.tree.map(
+                lambda x, s: jax.device_put(np.asarray(x), s), batch, sh,
+                is_leaf=lambda x: x is None,
+            )
+            state, metrics = step(state, batch_dev, hand)
+            if i % 10 == 0 or i == args.steps - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                print(f"step {i}: loss={m['total']:.4f} "
+                      f"lm={m['landmark_l2_m'] * 1e3:.1f}mm ({dt:.1f}s)")
+            if args.save and (i + 1) % args.save_every == 0:
+                save_params(args.save, state.params)
+        it.close()
+    if args.save:
+        save_params(args.save, state.params)
+        print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

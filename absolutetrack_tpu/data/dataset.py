@@ -108,6 +108,25 @@ class ShardSampler:
         return len(self.indices)
 
 
+class MappedDataset:
+    """Lazy item-wise map preserving len/indexing (reference
+    dataset_util.map_dataset, dataset_util.py:37-156)."""
+
+    def __init__(self, base, fn):
+        self.base = base
+        self.fn = fn
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i):
+        return self.fn(self.base[i])
+
+
+def map_dataset(base, fn) -> MappedDataset:
+    return MappedDataset(base, fn)
+
+
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack a list of field dicts into batched arrays (bundles.collate
     analog, reference bundles.py:155-206)."""

@@ -62,6 +62,30 @@ def pck_curve(
     return jnp.sum(le, axis=-1) / denom
 
 
+def pck_curve_per_axis(
+    errors: jnp.ndarray,
+    axis: int,
+    thresholds: jnp.ndarray | np.ndarray = PCK_THRESHOLDS,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """One PCK curve per element along ``axis`` -> (n_axis, len(thresholds)).
+
+    Equivalent of reference ``PCK_curve(axis=...)`` (metric_utils.py:46-84),
+    e.g. per-hand or per-landmark curves.
+    """
+    errors = jnp.moveaxis(errors, axis, 0)
+    n = errors.shape[0]
+    errors = errors.reshape(n, -1)
+    if mask is None:
+        mask = jnp.ones_like(errors, dtype=bool)
+    else:
+        mask = jnp.moveaxis(mask, axis, 0).reshape(n, -1)
+    th = jnp.asarray(thresholds, errors.dtype)
+    le = (errors[:, None, :] <= th[None, :, None]) & mask[:, None, :]
+    denom = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    return jnp.sum(le, axis=-1) / denom[:, None]
+
+
 def normalized_auc(x, y, y_max: float = 1.0) -> jnp.ndarray:
     """Trapezoidal AUC normalized by the max area (metric_utils.py:87-112)."""
     x = jnp.asarray(x)

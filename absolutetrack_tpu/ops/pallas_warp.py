@@ -1,0 +1,188 @@
+"""Pallas TPU kernel for the crop-warp bilinear gather.
+
+The fisheye->pinhole crop resample is the framework's hot host->compute
+boundary op (reference _warp_image, tracker.py:61-89). The XLA fallback in
+``ops.resample`` expresses the gather with advanced indexing; this kernel
+keeps each source view resident in VMEM (480x636 f32 = 1.2 MB << 16 MB)
+and fuses the coordinate chain with an in-VMEM bilinear gather.
+
+Gather strategy: Mosaic has no general 2D vector gather, so the kernel
+gathers rows by dynamic index inside a fori_loop over the 8-row sublane
+granule and selects columns with one-hot matmuls on the MXU... which is
+wasteful. Instead we use the practical formulation that Mosaic lowers
+well: ``jnp.take`` of a flattened source with precomputed linear indices,
+executed per output row block. If the take lowering is rejected by the
+installed Mosaic version, callers fall back to the XLA path
+(``warp_perspective_crop``); use ``pallas_warp_supported()`` to probe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu only exists on TPU-enabled installs
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+
+def _bilinear_gather_kernel(img_ref, coords_ref, out_ref):
+    """img (H, W) f32; coords (P, 2) f32 (x, y); out (P,) f32."""
+    h, w = img_ref.shape
+    img_flat = img_ref[:].reshape(h * w)
+    x = coords_ref[:, 0]
+    y = coords_ref[:, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+    base = y0c * w + x0c
+    f00 = jnp.take(img_flat, base, axis=0)
+    f01 = jnp.take(img_flat, base + 1, axis=0)
+    f10 = jnp.take(img_flat, base + w, axis=0)
+    f11 = jnp.take(img_flat, base + w + 1, axis=0)
+    out = (
+        f00 * (1 - wx) * (1 - wy)
+        + f01 * wx * (1 - wy)
+        + f10 * (1 - wx) * wy
+        + f11 * wx * wy
+    )
+    out_ref[:] = jnp.where(valid, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_bilinear_sample_one(
+    image: jnp.ndarray,  # (H, W) f32
+    coords: jnp.ndarray,  # (P, 2) f32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample one image at P points -> (P,)."""
+    spec = (
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+        if pltpu is not None and not interpret
+        else pl.BlockSpec()
+    )
+    return pl.pallas_call(
+        _bilinear_gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((coords.shape[0],), jnp.float32),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(image.astype(jnp.float32), coords.astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=1)
+def pallas_warp_supported() -> bool:
+    """Probe whether the installed Mosaic lowers the gather kernel."""
+    if pltpu is None:
+        return False
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return False
+        img = jnp.zeros((16, 128), jnp.float32)
+        coords = jnp.zeros((256, 2), jnp.float32)
+        pallas_bilinear_sample_one(img, coords).block_until_ready()
+        return True
+    except Exception:  # noqa: BLE001 -- any lowering failure means "no"
+        return False
+
+
+def pallas_bilinear_sample(
+    images: jnp.ndarray,  # (V, H, W)
+    image_idx: jnp.ndarray,  # (N,)
+    coords: jnp.ndarray,  # (N, P, 2)
+) -> jnp.ndarray:
+    """vmap'd drop-in for ops.resample.bilinear_sample."""
+    gathered = images[image_idx]  # (N, H, W)
+    return jax.vmap(pallas_bilinear_sample_one)(gathered, coords)
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation: bilinear sampling as two one-hot interpolation matmuls.
+#
+# For a tile of P output pixels with source coords (x, y):
+#   rowmix[p, h] = (h == floor(y_p)) (1 - wy_p) + (h == floor(y_p)+1) wy_p
+#   tmp          = rowmix @ img                  -- vertical lerp on the MXU
+#   colmix[p, w] = (w == floor(x_p)) (1 - wx_p) + (w == floor(x_p)+1) wx_p
+#   out[p]       = sum_w tmp[p, w] * colmix[p, w] -- horizontal lerp
+#
+# No gather anywhere: only iota compares, elementwise math, and a matmul --
+# all first-class Mosaic ops. The source view stays VMEM-resident across
+# the whole grid; each tile touches ~(TILE x H + TILE x W) floats of
+# scratch that never leave VMEM. Trades ~2 P H W FLOPs (MXU food) for the
+# serial gather XLA would otherwise emit.
+# ---------------------------------------------------------------------------
+
+_TILE = 512
+
+
+def _onehot_warp_kernel(img_ref, coords_ref, out_ref):
+    """img (H, W); coords (1, TILE, 2); out (1, TILE)."""
+    h, w = img_ref.shape
+    x = coords_ref[0, :, 0]
+    y = coords_ref[0, :, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+
+    p = x.shape[0]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    rowmix = (
+        jnp.where(iota_h == y0c[:, None], 1.0 - wy[:, None], 0.0)
+        + jnp.where(iota_h == y0c[:, None] + 1, wy[:, None], 0.0)
+    )
+    tmp = jnp.dot(rowmix, img_ref[:], preferred_element_type=jnp.float32)
+
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    colmix = (
+        jnp.where(iota_w == x0c[:, None], 1.0 - wx[:, None], 0.0)
+        + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
+    )
+    out = jnp.sum(tmp * colmix, axis=1)
+    out_ref[0, :] = jnp.where(valid, out, 0.0)
+
+
+def bilinear_sample_mxu(
+    images: jnp.ndarray,  # (V, H, W) f32
+    image_idx: jnp.ndarray,  # (N,) int
+    coords: jnp.ndarray,  # (N, P, 2) f32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One-hot-matmul bilinear sampling -> (N, P). P must divide by 512."""
+    n, p, _ = coords.shape
+    v, h, w = images.shape
+    assert p % _TILE == 0, (p, _TILE)
+    gathered = images[image_idx].astype(jnp.float32)  # (N, H, W)
+
+    grid = (n, p // _TILE)
+    out = pl.pallas_call(
+        _onehot_warp_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, h, w), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, _TILE, 2), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n, p), jnp.float32),
+        interpret=interpret,
+    )(gathered, coords.astype(jnp.float32))
+    return out

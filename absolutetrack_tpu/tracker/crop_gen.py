@@ -117,6 +117,7 @@ def gen_crop_slots(
     focal_multiplier: float = 0.8,
     src_kind: str = cam.FISHEYE62,
     mirror_right_hand: bool = True,
+    sort_camera_index: bool = True,
 ) -> CropSlots:
     """Vectorized equivalent of HandTracker.gen_crop_cameras."""
     n_hands = joint_angles.shape[0]
@@ -127,17 +128,21 @@ def gen_crop_slots(
 
     counts = _visibility_counts(cameras, lm_actual, src_kind)  # (H, V)
     eligible = counts >= min_required_vis_landmarks
-    masked_counts = jnp.where(eligible, counts, -1)
 
-    top_vals, top_idx = lax.top_k(masked_counts, MAX_VIEWS)  # (H, 2)
-    slot_valid = top_vals >= 0
-    # sort the two selected camera indices ascending when both valid
-    both = slot_valid[:, 0] & slot_valid[:, 1]
-    lo = jnp.minimum(top_idx[:, 0], top_idx[:, 1])
-    hi = jnp.maximum(top_idx[:, 0], top_idx[:, 1])
-    view_idx = jnp.where(
-        both[:, None], jnp.stack([lo, hi], axis=-1), top_idx
-    )
+    n_cams = counts.shape[-1]
+    if sort_camera_index:
+        # The reference sorts ALL eligible cameras ascending by index and
+        # takes the first MAX_VIEWS (perspective_crop.py:165-178 with
+        # sort_camera_index=True, which the tracker always sets,
+        # tracker.py:248): selection = the two lowest-indexed eligible
+        # cameras, NOT the two most visible.
+        score = jnp.where(eligible, -jnp.arange(n_cams), -jnp.inf)
+    else:
+        # visibility ranking with ties to the lower index (stable sort)
+        score = jnp.where(eligible, counts.astype(jnp.float32), -jnp.inf)
+    top_vals, top_idx = lax.top_k(score, MAX_VIEWS)  # (H, 2)
+    slot_valid = jnp.isfinite(top_vals)
+    view_idx = top_idx
 
     confident = hand_confidences >= CONFIDENCE_THRESHOLD
     n_eligible = jnp.sum(slot_valid, axis=-1)

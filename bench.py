@@ -24,6 +24,9 @@ def build_tpu_step():
     import jax
     import jax.numpy as jnp
 
+    from absolutetrack_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from absolutetrack_tpu.models import ModelConfig, UmeTrackModel, init_umetrack_params
     from absolutetrack_tpu.tracker import HandTracker, TrackerConfig
     from absolutetrack_tpu.tracker.video_data import load_labels
@@ -43,31 +46,49 @@ def build_tpu_step():
     conf = jnp.asarray(labels.hand_confidences[t0])
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(0, 255, (labels.num_views, 480, 636)).astype(np.float32)
+    chunk = 16  # frames tracked per device dispatch
+    images_seq = jnp.asarray(
+        rng.uniform(0, 255, (chunk, labels.num_views, 480, 636)).astype(np.float32)
     )
 
+    from jax import lax
+
     @jax.jit
-    def step(state, images):
-        return tracker.track_frame(state, images, cams, angles, hand, ja, wr, conf)
+    def run_chunk(state, ja0, wr0, images_seq):
+        """Track `chunk` frames in ONE dispatch, feeding the tracked pose
+        forward into the next frame's crop generation (true sequential
+        tracking -- nothing loop-invariant to hoist)."""
+
+        def body(carry, images):
+            s, ja_t, wr_t = carry
+            s, res = tracker.track_frame(
+                s, images, cams, angles, hand, ja_t, wr_t, conf
+            )
+            # next crops follow the tracked pose where valid (live mode)
+            ja_n = jnp.where(res.hand_valid[:, None], res.joint_angles, ja_t)
+            wr_n = jnp.where(res.hand_valid[:, None, None], res.wrist_xfs, wr_t)
+            return (s, ja_n, wr_n), res.wrist_xfs
+
+        (state, _, _), wrists = lax.scan(body, (state, ja0, wr0), images_seq)
+        return state, wrists
 
     state = tracker.init_state()
-    return step, state, images
+    return run_chunk, state, ja, wr, images_seq, chunk
 
 
-def bench_tpu(iters: int = 30) -> float:
+def bench_tpu(iters: int = 20) -> float:
     import jax
 
-    step, state, images = build_tpu_step()
+    run_chunk, state, ja, wr, images_seq, chunk = build_tpu_step()
     # warmup / compile
-    state2, res = step(state, images)
-    jax.block_until_ready(res.wrist_xfs)
+    s, res = run_chunk(state, ja, wr, images_seq)
+    jax.block_until_ready(res)
     t0 = time.perf_counter()
     s = state
     for _ in range(iters):
-        s, res = step(s, images)
-    jax.block_until_ready(res.wrist_xfs)
-    dt = (time.perf_counter() - t0) / iters
+        s, res = run_chunk(s, ja, wr, images_seq)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / (iters * chunk)
     return 1.0 / dt
 
 
