@@ -108,6 +108,17 @@ class ShardSampler:
         return len(self.indices)
 
 
+def subsample_indices(n: int, fraction: float, seed: int = 0) -> np.ndarray:
+    """Deterministic subsample of ``fraction`` of n indices (sorted).
+
+    Matches the reference's seed-0 deterministic subsample contract
+    (async_dataset.py:416-455): same n/fraction/seed -> same subset.
+    """
+    k = max(1, int(round(n * fraction)))
+    rng = np.random.default_rng(seed)
+    return np.sort(rng.permutation(n)[:k])
+
+
 class MappedDataset:
     """Lazy item-wise map preserving len/indexing (reference
     dataset_util.map_dataset, dataset_util.py:37-156)."""
