@@ -130,35 +130,38 @@ _TILE = 512
 
 
 def _onehot_warp_kernel(img_ref, coords_ref, out_ref):
-    """img (H, W); coords (1, TILE, 2); out (1, TILE)."""
-    h, w = img_ref.shape
-    x = coords_ref[0, :, 0]
-    y = coords_ref[0, :, 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
-    x0c = jnp.clip(x0i, 0, w - 2)
-    y0c = jnp.clip(y0i, 0, h - 2)
+    """img (N, H, W) -- all slot views VMEM-resident; coords (N, TILE, 2);
+    out (N, TILE). Unrolls the (small, static) slot dimension; each slot
+    does two one-hot lerp contractions on the MXU."""
+    n, h, w = img_ref.shape
+    for s in range(n):
+        x = coords_ref[s, :, 0]
+        y = coords_ref[s, :, 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
+        x0c = jnp.clip(x0i, 0, w - 2)
+        y0c = jnp.clip(y0i, 0, h - 2)
 
-    p = x.shape[0]
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-    rowmix = (
-        jnp.where(iota_h == y0c[:, None], 1.0 - wy[:, None], 0.0)
-        + jnp.where(iota_h == y0c[:, None] + 1, wy[:, None], 0.0)
-    )
-    tmp = jnp.dot(rowmix, img_ref[:], preferred_element_type=jnp.float32)
+        p = x.shape[0]
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
+        rowmix = (
+            jnp.where(iota_h == y0c[:, None], 1.0 - wy[:, None], 0.0)
+            + jnp.where(iota_h == y0c[:, None] + 1, wy[:, None], 0.0)
+        )
+        tmp = jnp.dot(rowmix, img_ref[s], preferred_element_type=jnp.float32)
 
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
-    colmix = (
-        jnp.where(iota_w == x0c[:, None], 1.0 - wx[:, None], 0.0)
-        + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
-    )
-    out = jnp.sum(tmp * colmix, axis=1)
-    out_ref[0, :] = jnp.where(valid, out, 0.0)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
+        colmix = (
+            jnp.where(iota_w == x0c[:, None], 1.0 - wx[:, None], 0.0)
+            + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
+        )
+        out = jnp.sum(tmp * colmix, axis=1)
+        out_ref[s, :] = jnp.where(valid, out, 0.0)
 
 
 def bilinear_sample_mxu(
@@ -167,21 +170,24 @@ def bilinear_sample_mxu(
     coords: jnp.ndarray,  # (N, P, 2) f32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One-hot-matmul bilinear sampling -> (N, P). P must divide by 512."""
+    """One-hot-matmul bilinear sampling -> (N, P). P must divide by 512.
+
+    Grid iterates pixel tiles; all N slot views stay VMEM-resident
+    (N x 480 x 636 f32 ~= 4.9 MB for the 4-slot tracker frame).
+    """
     n, p, _ = coords.shape
     v, h, w = images.shape
     assert p % _TILE == 0, (p, _TILE)
     gathered = images[image_idx].astype(jnp.float32)  # (N, H, W)
 
-    grid = (n, p // _TILE)
     out = pl.pallas_call(
         _onehot_warp_kernel,
-        grid=grid,
+        grid=(p // _TILE,),
         in_specs=[
-            pl.BlockSpec((None, h, w), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, _TILE, 2), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((n, h, w), lambda j: (0, 0, 0)),
+            pl.BlockSpec((n, _TILE, 2), lambda j: (0, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _TILE), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((n, _TILE), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((n, p), jnp.float32),
         interpret=interpret,
     )(gathered, coords.astype(jnp.float32))

@@ -1,0 +1,59 @@
+"""Pallas warp kernels: interpret-mode parity with the XLA path.
+
+(Real-TPU lowering is exercised by benchmarks; CPU CI runs the
+interpreter, which checks the kernel semantics.)"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from absolutetrack_tpu.ops.pallas_warp import (
+    bilinear_sample_mxu,
+    pallas_bilinear_sample_one,
+)
+from absolutetrack_tpu.ops.resample import bilinear_sample
+
+
+class TestOneHotMxuWarp:
+    def test_matches_xla_path(self):
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(0, 255, (3, 48, 64)).astype(np.float32))
+        idx = jnp.asarray([2, 0, 1], jnp.int32)
+        coords = jnp.asarray(
+            np.stack(
+                [rng.uniform(-3, 67, (3, 1024)), rng.uniform(-3, 51, (3, 1024))], -1
+            ).astype(np.float32)
+        )
+        a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_integer_coords_exact(self):
+        rng = np.random.default_rng(1)
+        imgs = jnp.asarray(rng.uniform(0, 255, (1, 16, 16)).astype(np.float32))
+        ys, xs = np.mgrid[0:8, 0:8]
+        coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float32)
+        coords = np.tile(coords, (8, 1))[:512][None]
+        out = np.asarray(
+            bilinear_sample_mxu(
+                imgs, jnp.zeros(1, jnp.int32), jnp.asarray(coords), interpret=True
+            )
+        )
+        want = np.asarray(imgs)[0, coords[0, :, 1].astype(int), coords[0, :, 0].astype(int)]
+        np.testing.assert_allclose(out[0], want, atol=1e-4)
+
+
+class TestGatherKernel:
+    def test_interpret_parity(self):
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (40, 56)).astype(np.float32))
+        coords = jnp.asarray(
+            np.stack([rng.uniform(-2, 58, 300), rng.uniform(-2, 42, 300)], -1).astype(
+                np.float32
+            )
+        )
+        a = np.asarray(pallas_bilinear_sample_one(img, coords, interpret=True))
+        b = np.asarray(
+            bilinear_sample(img[None], jnp.zeros(1, jnp.int32), coords[None])
+        )[0]
+        np.testing.assert_allclose(a, b, atol=1e-5)
