@@ -158,9 +158,7 @@ def calibrate_scale_window(
 
     def residual_t(a0, w0, target, delta_p, ds):
         a, w = _apply_delta(a0, w0, delta_p)
-        lm = _landmarks(
-            jax.tree.map(lambda x: x, hand), a, w, log_scale=ds
-        )
+        lm = _landmarks(hand, a, w, log_scale=ds)
         return (lm - target).reshape(-1)
 
     def body(carry, _):

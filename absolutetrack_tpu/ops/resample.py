@@ -155,6 +155,7 @@ def warp_homography(
     src_images: jnp.ndarray,  # (N, H, W)
     resample_xfs: jnp.ndarray,  # (N, 4, 4) new-pixel -> orig-pixel
     out_size: Tuple[int, int],
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Pinhole->pinhole batched warp through pixel homographies -> (N, h, w).
 
@@ -170,5 +171,6 @@ def warp_homography(
     t = resample_xfs[:, :3, 3]
     src = affine.einsum("nij,pj->npi", r, grid_h) + t[:, None, :]
     src_xy = src[..., :2] / src[..., 2:3]
-    out = bilinear_sample(src_images, jnp.arange(n), src_xy)
+    sampler = _pick_sampler(method, h * w)
+    out = sampler(src_images, jnp.arange(n), src_xy)
     return out.reshape(n, h, w)

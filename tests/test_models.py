@@ -325,3 +325,36 @@ class TestEndToEnd:
         # conv reduction order varies with batch size; allow f32-level slop
         scale = max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4)
+
+
+class TestAlternateArchitectures:
+    """The arch-string parser generalizes like the reference's
+    (backbone_resnet.py:169-192): any resnet_layers_XXXX-fN config builds."""
+
+    def test_small_config_builds_and_runs(self):
+        cfg = ModelConfig(
+            network="resnet_layers_1111-f16",
+            n_image_feature_channels=24,
+            n_temporal_memory_channels=6,
+            input_size=(32, 32),
+        )
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+        model = UmeTrackModel(params, cfg)
+        b = 1
+        frame = FrameInputs(
+            left_images=jnp.zeros((b, 2, 32, 32)),
+            intrinsics=jnp.broadcast_to(
+                jnp.eye(3) * jnp.asarray([250.0, 250, 1]), (b, 2, 3, 3)
+            ),
+            extrinsics=jnp.broadcast_to(jnp.eye(4), (b, 2, 4, 4)),
+            view_mask=jnp.ones((b, 2), bool),
+            hand_idx=jnp.zeros(b, jnp.int32),
+            use_memory=jnp.zeros(b, bool),
+            sample_mask=jnp.ones(b, bool),
+        )
+        state = model.init_state(b)
+        state, out = model.regress_pose_use_skeleton(
+            state, frame, SkeletonInputs(jnp.zeros((1, 22, 3)), jnp.zeros((1, 22, 3)))
+        )
+        assert out.joint_angles.shape == (b, 22)
+        assert state.mem_features.shape == (b, 2, 2, 6)

@@ -16,8 +16,10 @@ from absolutetrack_tpu.ops.resample import bilinear_sample
 
 class TestOneHotMxuWarp:
     def test_matches_xla_path(self):
+        # integer-valued sources: real frames are uint8, which bf16 inside
+        # the MXU kernel represents exactly (integers <= 256)
         rng = np.random.default_rng(0)
-        imgs = jnp.asarray(rng.uniform(0, 255, (3, 48, 64)).astype(np.float32))
+        imgs = jnp.asarray(rng.integers(0, 256, (3, 48, 64)).astype(np.float32))
         idx = jnp.asarray([2, 0, 1], jnp.int32)
         coords = jnp.asarray(
             np.stack(
@@ -26,11 +28,15 @@ class TestOneHotMxuWarp:
         )
         a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
         b = np.asarray(bilinear_sample(imgs, idx, coords))
-        np.testing.assert_allclose(a, b, atol=1e-4)
+        # kernel interpolation weights are bf16: worst-case intensity error
+        # ~2^-8 * (a+b) <= ~1.0 for uint8 sources -- still ~4x finer than
+        # cv2.remap's INTER_LINEAR 5-bit fixed-point weights (error <= 4),
+        # which is the reference's own sampler
+        np.testing.assert_allclose(a, b, atol=1.1)
 
     def test_integer_coords_exact(self):
         rng = np.random.default_rng(1)
-        imgs = jnp.asarray(rng.uniform(0, 255, (1, 16, 16)).astype(np.float32))
+        imgs = jnp.asarray(rng.integers(0, 256, (1, 16, 16)).astype(np.float32))
         ys, xs = np.mgrid[0:8, 0:8]
         coords = np.stack([xs.reshape(-1), ys.reshape(-1)], -1).astype(np.float32)
         coords = np.tile(coords, (8, 1))[:512][None]
