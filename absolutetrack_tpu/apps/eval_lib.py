@@ -66,6 +66,8 @@ class SequenceResult:
     gt_keypoints: np.ndarray  # (2, T, 21, 3)
     valid_tracking: np.ndarray  # (2, T)
     predicted_scales: Optional[np.ndarray] = None  # (2, T)
+    joint_angles: Optional[np.ndarray] = None  # (2, T, 22) raw predictions
+    wrist_xfs: Optional[np.ndarray] = None  # (2, T, 4, 4) world, mm
 
 
 def track_recording(
@@ -109,6 +111,8 @@ def track_recording(
     gt = np.zeros_like(tracked)
     valid = np.zeros((NUM_HANDS, t_total), bool)
     scales = np.zeros((NUM_HANDS, t_total), np.float32)
+    raw_angles = np.zeros((NUM_HANDS, t_total, 22), np.float32)
+    raw_wrists = np.zeros((NUM_HANDS, t_total, 4, 4), np.float32)
 
     # tracked landmarks FK with the tracking hand model (possibly the
     # calibrated generic skeleton); GT landmarks always FK with the
@@ -144,12 +148,16 @@ def track_recording(
             gt[:, t] = np.asarray(fk_gt(ja, wr))
         if res.predicted_scales is not None:
             scales[:, t] = np.asarray(res.predicted_scales)
+        raw_angles[:, t] = np.asarray(res.joint_angles)
+        raw_wrists[:, t] = np.asarray(res.wrist_xfs)
 
     return SequenceResult(
         tracked_keypoints=tracked,
         gt_keypoints=gt,
         valid_tracking=valid,
         predicted_scales=scales if calibrate_scale else None,
+        joint_angles=raw_angles,
+        wrist_xfs=raw_wrists,
     )
 
 

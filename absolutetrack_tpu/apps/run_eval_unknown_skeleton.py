@@ -44,6 +44,49 @@ def robust_scale(scales: np.ndarray, mode: str = "mean") -> float:
     return float((w * scales).sum() / w.sum())
 
 
+def gn_window_scale(generic, calib, hand_idx: int) -> float | None:
+    """Windowed Gauss-Newton scale calibration (the north-star solver).
+
+    Targets are the pass-1 network landmarks (FK of each frame's predicted
+    pose on the generic skeleton scaled by that frame's predicted scale);
+    the solver then jointly refines per-frame poses + ONE shared log-scale
+    via Schur-complement GN (ops/gauss_newton.py) -- a principled
+    replacement for averaging per-frame scale predictions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..kinematics.skinning import skin_landmarks
+    from ..ops.gauss_newton import calibrate_scale_window
+
+    mask = calib.valid_tracking[hand_idx]
+    if mask.sum() < 2:
+        return None
+    t = len(mask)
+    # left-canonical poses: undo the right-hand world mirror
+    wr = np.asarray(calib.wrist_xfs[hand_idx]).copy()
+    if hand_idx == 1:
+        wr[..., :, 0] *= -1
+    ja = jnp.asarray(calib.joint_angles[hand_idx])
+    scales = np.where(mask, calib.predicted_scales[hand_idx], 1.0)
+
+    from ..kinematics.hand_model import scaled_hand_model
+
+    hand_t = jax.tree.map(lambda x: jnp.broadcast_to(x, (t,) + x.shape), generic)
+    hand_t = scaled_hand_model(hand_t, jnp.asarray(scales, jnp.float32))
+    targets = skin_landmarks(hand_t, ja, jnp.asarray(wr, jnp.float32))
+
+    res = calibrate_scale_window(
+        generic,
+        targets,
+        ja,
+        jnp.asarray(wr, jnp.float32),
+        frame_mask=jnp.asarray(mask, jnp.float32),
+        iters=6,
+    )
+    return float(np.exp(np.asarray(res.log_scale)))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input-dir", default="/root/reference/sample_data")
@@ -53,7 +96,7 @@ def main(argv=None):
         "--generic-hand-model",
         default="/root/reference/dataset/generic_hand_model.json",
     )
-    ap.add_argument("--calib-mode", choices=["mean", "lstsq"], default="mean")
+    ap.add_argument("--calib-mode", choices=["mean", "lstsq", "gn"], default="mean")
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -89,14 +132,15 @@ def main(argv=None):
             max_frames=CALIB_FRAMES,
         )
         mask = calib.valid_tracking
-        per_hand_scale = np.ones(2, np.float32)
-        for h in range(2):
-            s = calib.predicted_scales[h][mask[h]]
-            per_hand_scale[h] = robust_scale(s, args.calib_mode)
-        # the reference calibrates a single skeleton for the user (mean of
-        # available predictions across hands)
-        valid_scales = calib.predicted_scales[mask]
-        user_scale = robust_scale(valid_scales, args.calib_mode)
+        if args.calib_mode == "gn":
+            gn_scales = [
+                s for s in (gn_window_scale(generic, calib, h) for h in range(2))
+                if s is not None
+            ]
+            user_scale = float(np.mean(gn_scales)) if gn_scales else 1.0
+        else:
+            valid_scales = calib.predicted_scales[mask]
+            user_scale = robust_scale(valid_scales, args.calib_mode)
         calibrated = scaled_hand_model(generic, user_scale)
         print(f"{rel}: calibrated scale {user_scale:.4f} "
               f"({mask.sum()} calib frames)")
