@@ -8,9 +8,10 @@ jittable op:
     4x4 pixel-to-pixel homography (lib/batched_dataset/data_transform.py:78-144).
 
 Design: coordinates are computed with vectorized camera math (VPU-friendly
-elementwise chains); sampling is a bilinear gather. XLA lowers the gather
-well enough on TPU for 96x96 crops; a blocked Pallas variant (DMA the source
-window to VMEM per crop tile) is the planned upgrade path once profiled.
+elementwise chains); sampling picks a backend per shape: the Pallas
+one-hot-MXU kernel (ops/pallas_warp.py, ~6x faster than XLA's gather on
+TPU) when the slot views fit the VMEM budget, else the XLA bilinear
+gather (also the CPU path).
 """
 
 from __future__ import annotations
@@ -72,15 +73,22 @@ def _dst_pixel_grid(size: Tuple[int, int], dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
 
-def _pick_sampler(method: str, n_pixels: int):
+_MXU_VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # half of VMEM for resident views
+
+
+def _pick_sampler(method: str, n_pixels: int, n_slots: int, img_hw):
     """Resolve the sampling backend: the Pallas one-hot-MXU kernel is ~6x
     faster than XLA's gather on TPU (0.37 vs 2.15 ms for a 4-slot frame)
-    but needs a TPU backend and a 512-divisible pixel count."""
+    but needs a TPU backend, a 512-divisible pixel count, and all slot
+    views resident in VMEM (guarded by a budget -- the packed-data path
+    can pass 16+ slots, which must fall back to the gather)."""
     if method == "auto":
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu",)
-        method = "mxu" if (on_tpu and n_pixels % 512 == 0) else "gather"
+        resident = n_slots * img_hw[0] * img_hw[1] * 4
+        fits = resident <= _MXU_VMEM_BUDGET_BYTES
+        method = "mxu" if (on_tpu and n_pixels % 512 == 0 and fits) else "gather"
     if method == "mxu":
         from .pallas_warp import bilinear_sample_mxu
 
@@ -122,7 +130,9 @@ def warp_perspective_crop(
         behind = src_eye[..., 2] < 0
         src_win = jnp.where(behind[..., None], -1.0, src_win)
 
-    sampler = _pick_sampler(method, h * w)
+    sampler = _pick_sampler(
+        method, h * w, n, (src_images.shape[-2], src_images.shape[-1])
+    )
     out = sampler(src_images, src_view_idx, src_win)
     return out.reshape(n, h, w)
 
@@ -171,6 +181,8 @@ def warp_homography(
     t = resample_xfs[:, :3, 3]
     src = affine.einsum("nij,pj->npi", r, grid_h) + t[:, None, :]
     src_xy = src[..., :2] / src[..., 2:3]
-    sampler = _pick_sampler(method, h * w)
+    sampler = _pick_sampler(
+        method, h * w, n, (src_images.shape[-2], src_images.shape[-1])
+    )
     out = sampler(src_images, jnp.arange(n), src_xy)
     return out.reshape(n, h, w)
