@@ -262,6 +262,40 @@ def world_to_window(cam: Camera, v: jnp.ndarray, kind: str) -> jnp.ndarray:
     return eye_to_window(cam, world_to_eye(cam, v), kind)
 
 
+def crop(
+    cam: Camera,
+    src_x,
+    src_y,
+    target_width,
+    target_height,
+    scale: float = 1.0,
+    T_world_from_eye: jnp.ndarray | None = None,
+) -> Camera:
+    """Intrinsics for a sub-window (and optional rescale) of the sensor.
+
+    Matches reference ``CameraModel.crop`` (camera.py:331-361):
+    f' = f * scale, c' = (c - (x, y) + 0.5) * scale - 0.5. Distortion
+    coefficients are unchanged (they act on normalized coords).
+    """
+    sx = jnp.asarray(src_x, cam.cx.dtype)
+    sy = jnp.asarray(src_y, cam.cy.dtype)
+    return cam._replace(
+        fx=cam.fx * scale,
+        fy=cam.fy * scale,
+        cx=(cam.cx - sx + 0.5) * scale - 0.5,
+        cy=(cam.cy - sy + 0.5) * scale - 0.5,
+        width=jnp.broadcast_to(
+            jnp.asarray(float(target_width), cam.width.dtype), cam.width.shape
+        ),
+        height=jnp.broadcast_to(
+            jnp.asarray(float(target_height), cam.height.dtype), cam.height.shape
+        ),
+        T_world_from_eye=cam.T_world_from_eye
+        if T_world_from_eye is None
+        else T_world_from_eye,
+    )
+
+
 def intrinsics_matrix(cam: Camera) -> jnp.ndarray:
     """(B..., 3, 3) pinhole intrinsics [[fx 0 cx][0 fy cy][0 0 1]].
 

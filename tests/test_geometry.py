@@ -332,3 +332,26 @@ class TestCropSynthesis:
         pts = jnp.asarray(rng.uniform(100, 200, (63, 3)), jnp.float32)
         out = f(w2e, pts, jnp.asarray(False))
         assert out.T_world_to_eye.shape == (4, 4)
+
+
+class TestCameraCrop:
+    def test_crop_window_preserves_projection(self):
+        """A point's pixel in the cropped camera = original pixel - offset
+        (scale 1), matching reference camera.py:331-361 semantics."""
+        cam0, _ = _sample_fisheye()
+        cam0 = jax.tree.map(lambda x: x[0], cam0)
+        cropped = camera.crop(cam0, 100, 50, 300, 200)
+        pts = jnp.asarray([[30.0, -20.0, 400.0], [0.0, 0.0, 500.0]])
+        w_full = np.asarray(camera.world_to_window(cam0, pts, camera.FISHEYE62))
+        w_crop = np.asarray(camera.world_to_window(cropped, pts, camera.FISHEYE62))
+        np.testing.assert_allclose(w_crop, w_full - np.asarray([100.0, 50.0]), atol=1e-4)
+
+    def test_crop_with_scale(self):
+        cam0, _ = _sample_fisheye()
+        cam0 = jax.tree.map(lambda x: x[0], cam0)
+        scaled = camera.crop(cam0, 0, 0, 318, 240, scale=0.5)
+        pts = jnp.asarray([[15.0, 25.0, 300.0]])
+        w_full = np.asarray(camera.world_to_window(cam0, pts, camera.FISHEYE62))
+        w_half = np.asarray(camera.world_to_window(scaled, pts, camera.FISHEYE62))
+        # (w + 0.5) * s - 0.5 pixel-center convention
+        np.testing.assert_allclose(w_half, (w_full + 0.5) * 0.5 - 0.5, atol=1e-4)
