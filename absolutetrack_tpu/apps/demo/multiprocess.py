@@ -104,8 +104,11 @@ def run_multiprocess_demo(
 
     name = f"at_ring_{uuid.uuid4().hex[:8]}"
     shm, ring = _make_ring(name, n_slots, slot_bytes)
-    stop = mp.Event()
-    proc = mp.Process(
+    # spawn (not fork): the parent typically has JAX's thread pools alive,
+    # and fork()ing a multithreaded process deadlocks in the child
+    ctx = mp.get_context("spawn")
+    stop = ctx.Event()
+    proc = ctx.Process(
         target=_capture_proc,
         args=(name, n_slots, slot_bytes, source_kind, max_frames, stop),
         daemon=True,
