@@ -19,11 +19,9 @@ installed Mosaic version, callers fall back to the XLA path
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu only exists on TPU-enabled installs
