@@ -23,7 +23,7 @@ from ..data import PackedDataset, PrefetchIterator, ShardSampler, find_dataset_f
 from ..data.transform import preprocess_packed
 from ..kinematics.hand_model import HandModel
 from ..models import ModelConfig, init_umetrack_params
-from ..models.checkpoint import load_any, save_params
+from ..models.checkpoint import load_any, save_params, save_train_state
 from ..parallel import make_mesh
 from ..training import make_train_step
 from ..training.train import (
@@ -73,6 +73,8 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--save", default="tmp/checkpoints/latest.msgpack")
     ap.add_argument("--save-every", type=int, default=50)
+    ap.add_argument("--resume", default=None,
+                    help="train-state checkpoint to resume from")
     ap.add_argument("--model-axis", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -94,6 +96,11 @@ def main(argv=None):
     mesh = make_mesh(data=n_dev // model_ax, model=model_ax)
     opt = make_optimizer(args.lr)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    if args.resume:
+        from ..models.checkpoint import load_train_state
+
+        state = load_train_state(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     def batches():
         rng = np.random.default_rng(args.seed)
@@ -124,10 +131,12 @@ def main(argv=None):
                       f"lm={m['landmark_l2_m'] * 1e3:.1f}mm ({dt:.1f}s)")
             if args.save and (i + 1) % args.save_every == 0:
                 save_params(args.save, state.params)
+                save_train_state(args.save + ".train", state)
         it.close()
     if args.save:
         save_params(args.save, state.params)
-        print(f"saved {args.save}")
+        save_train_state(args.save + ".train", state)
+        print(f"saved {args.save} (+.train resume state)")
 
 
 if __name__ == "__main__":

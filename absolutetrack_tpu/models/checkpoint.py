@@ -54,3 +54,27 @@ def load_any(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
 
         return jax.tree.map(jnp.asarray, load_torch_checkpoint(path, cfg))
     return load_params(path, cfg)
+
+
+def save_train_state(path: str, state) -> None:
+    """Checkpoint a full TrainState (params + optimizer moments + step) for
+    resumable training -- elastic-recovery support the reference lacks
+    (SURVEY section 5.3: its only resume is skip-if-output-exists)."""
+    from flax import serialization
+
+    data = serialization.to_bytes(jax.tree.map(np.asarray, state))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by save_train_state; ``template`` is a
+    freshly-initialized TrainState with matching structure."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    return jax.tree.map(jnp.asarray, state)

@@ -43,3 +43,32 @@ class TestCheckpoint:
             np.asarray(loaded["backbone"]["proj"]["b"]),
             np.asarray(params2["backbone"]["proj"]["b"]),
         )
+
+
+class TestTrainStateCheckpoint:
+    def test_train_state_round_trip(self, tmp_path):
+        import optax
+
+        from absolutetrack_tpu.models.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+        from absolutetrack_tpu.training.train import TrainState, make_optimizer
+
+        params = init_umetrack_params(jax.random.PRNGKey(0), CFG)
+        opt = make_optimizer()
+        state = TrainState(params, opt.init(params), jnp.asarray(7, jnp.int32))
+        p = str(tmp_path / "state.train")
+        save_train_state(p, state)
+
+        template = TrainState(
+            init_umetrack_params(jax.random.PRNGKey(1), CFG),
+            opt.init(params),
+            jnp.zeros((), jnp.int32),
+        )
+        restored = load_train_state(p, template)
+        assert int(restored.step) == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["backbone"]["stem"]["w"]),
+            np.asarray(params["backbone"]["stem"]["w"]),
+        )
