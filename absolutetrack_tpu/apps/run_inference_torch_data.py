@@ -28,8 +28,12 @@ from ..kinematics.skinning import skin_landmarks
 M_TO_MM = 1000.0
 
 
-def eval_window(model, seq, use_memory_t0: bool = False):
-    """Scan one preprocessed window -> (T,) per-frame landmark error in mm."""
+def eval_window(model, seq, use_memory_t0: bool = False, n_views: int | None = None):
+    """Scan one preprocessed window -> (T,) per-frame landmark error in mm.
+
+    ``n_views`` < the stored view count runs the single-view path
+    (remaining view slots masked out), covering the reference's
+    single-view torch_data configuration."""
     t, v = seq.left_images.shape[:2]
     state = model.init_state(1)
     skel = SkeletonInputs(
@@ -37,14 +41,17 @@ def eval_window(model, seq, use_memory_t0: bool = False):
         joint_rest_positions=seq.gt_hand_model.joint_rest_positions[None],
     )
     use_mem = jnp.arange(t) > (0 if not use_memory_t0 else -1)
+    view_mask = (
+        jnp.arange(v) < (v if n_views is None else n_views)
+    )[None, :]
 
     def step(state, xs):
         img, intr, extr, um = xs
         frame = FrameInputs(
-            left_images=img[None],
+            left_images=jnp.where(view_mask[..., None, None], img[None], 0.0),
             intrinsics=intr[None],
             extrinsics=extr[None],
-            view_mask=jnp.ones((1, v), bool),
+            view_mask=view_mask,
             hand_idx=seq.hand_idx[None],
             use_memory=um[None],
             sample_mask=jnp.ones(1, bool),
@@ -75,6 +82,8 @@ def main(argv=None):
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--prefetch", type=int, default=4)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--views", type=int, default=None,
+                    help="restrict to the first N views (1 = single-view path)")
     args = ap.parse_args(argv)
 
     folders = find_dataset_folders(args.data_root, ["mono", "labels"])
@@ -88,7 +97,7 @@ def main(argv=None):
     print(f"[rank {args.rank}] {len(sampler)} windows from {len(folders)} folders")
 
     model = eval_lib.build_model(args.checkpoint)
-    run = jax.jit(lambda seq: eval_window(model, seq))
+    run = jax.jit(lambda seq: eval_window(model, seq, n_views=args.views))
 
     def load(i):
         s = ds[i]

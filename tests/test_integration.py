@@ -138,3 +138,27 @@ class TestEvalApps:
         assert m["n_total"] == 2 * 3 * 3  # 3 recordings x 3 frames x 2 hands
         assert 0 < m["success_rate"] <= 1
         assert np.isfinite(m["mean_keypoint_error_mm"])
+
+
+class TestSingleViewPackedPath:
+    def test_single_view_differs_from_stereo(self, tmp_path, model):
+        """--views 1 must exercise the single-view FTL path (different
+        output than the fused stereo path on the same window)."""
+        from absolutetrack_tpu.apps import pack_sample_data, run_inference_torch_data
+        from absolutetrack_tpu.data import PackedDataset, find_dataset_folders
+        from absolutetrack_tpu.data.transform import preprocess_packed
+
+        out = str(tmp_path / "torch_data")
+        pack_sample_data.main(
+            ["--input-dir", os.path.dirname(LABELS), "--output-dir", out,
+             "--window", "2", "--max-frames", "2"]
+        )
+        ds = PackedDataset(find_dataset_folders(out, ["mono", "labels"]), ["mono", "labels"])
+        s = ds[0]
+        seq = preprocess_packed(np.asarray(s["mono"]), s["labels"])
+        err2 = np.asarray(run_inference_torch_data.eval_window(model, seq))
+        err1 = np.asarray(
+            run_inference_torch_data.eval_window(model, seq, n_views=1)
+        )
+        assert np.isfinite(err1).all() and np.isfinite(err2).all()
+        assert not np.allclose(err1, err2)
