@@ -165,7 +165,18 @@ def bench_torch_cpu(iters: int = 10) -> float:
 
 
 def main():
-    tpu_fps = bench_tpu()
+    # the axon TPU grant is single-client; a leftover process can make
+    # backend registration fail transiently -- retry in a fresh attempt
+    tpu_fps = None
+    for attempt in range(3):
+        try:
+            tpu_fps = bench_tpu()
+            break
+        except RuntimeError as e:
+            if "axon" in str(e) and attempt < 2:
+                time.sleep(30)
+                continue
+            raise
     try:
         base_fps = bench_torch_cpu()
         vs = tpu_fps / base_fps

@@ -242,3 +242,25 @@ class TestParity:
         np.testing.assert_allclose(
             np.asarray(out.skel_scales), np.exp(raw[:, 41]), rtol=1e-4
         )
+
+
+class TestCheckpointFileRoundTrip:
+    def test_torch_save_load_convert(self, torch_tree, tmp_path):
+        """torch.save -> load_torch_checkpoint -> same params as the
+        in-memory conversion (the path a real pretrained_weights.torch
+        takes)."""
+        import torch
+
+        from absolutetrack_tpu.models.weights import load_torch_checkpoint
+
+        p = str(tmp_path / "weights.torch")
+        with open(p, "wb") as f:
+            torch.save(torch_tree.state_dict(), f)
+        from_file = load_torch_checkpoint(p, CFG)
+        in_mem = convert_torch_state_dict(torch_tree.state_dict(), CFG)
+        np.testing.assert_array_equal(
+            from_file["backbone"]["stem"]["w"], in_mem["backbone"]["stem"]["w"]
+        )
+        np.testing.assert_array_equal(
+            from_file["regressor_u"]["out"]["b"], in_mem["regressor_u"]["out"]["b"]
+        )
