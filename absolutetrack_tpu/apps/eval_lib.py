@@ -79,32 +79,43 @@ def track_recording(
     min_num_crops: int = 1,
     calibrate_scale: bool = False,
     max_frames: Optional[int] = None,
+    chunk_size: int = 8,
 ) -> SequenceResult:
     """Track a full recording with GT-pose-driven crops.
 
-    The per-frame step is jitted once; camera extrinsics, poses, and images
-    change per frame as device arrays. Produces FK landmarks for tracked and
-    GT poses plus validity, matching the reference protocol.
+    Frames run through the tracker in chunks of ``chunk_size`` inside one
+    ``lax.scan`` dispatch (sequential semantics preserved -- the temporal
+    state carries across frames and chunks). One dispatch per chunk
+    amortizes host->device latency, which dominates when the accelerator is
+    reached over a network tunnel. Produces FK landmarks for tracked and GT
+    poses plus validity, matching the reference protocol
+    (run_eval_known_skeleton.py:48-106).
     """
     tracker = HandTracker(model, opts)
     hand_mm = hand_model_mm if hand_model_mm is not None else labels.hand_model
 
     camera_angles = jnp.asarray(labels.camera_angles)
+    base_cams = labels.cameras
 
-    if calibrate_scale:
-        def step(state, images, cams, ja, wr, conf):
+    def frame_step(state, images, cam_t, ja, wr, conf):
+        cams = base_cams._replace(T_world_from_eye=cam_t)
+        if calibrate_scale:
             return tracker.track_frame_and_calibrate_scale(
                 state, images, cams, camera_angles, hand_mm, ja, wr, conf,
                 src_kind=labels.camera_kind,
             )
-    else:
-        def step(state, images, cams, ja, wr, conf):
-            return tracker.track_frame(
-                state, images, cams, camera_angles, hand_mm, ja, wr, conf,
-                min_num_crops=min_num_crops, src_kind=labels.camera_kind,
-            )
+        return tracker.track_frame(
+            state, images, cams, camera_angles, hand_mm, ja, wr, conf,
+            min_num_crops=min_num_crops, src_kind=labels.camera_kind,
+        )
 
-    step = jax.jit(step)
+    @jax.jit
+    def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+        def body(state, xs):
+            state, res = frame_step(state, *xs)
+            return state, res
+
+        return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     t_total = len(labels) if max_frames is None else min(max_frames, len(labels))
     tracked = np.zeros((NUM_HANDS, t_total, NUM_LANDMARKS, 3), np.float32)
@@ -132,24 +143,53 @@ def track_recording(
     )
 
     state = tracker.init_state()
-    for t, frame in enumerate(frames):
-        if t >= t_total:
+    frame_iter = iter(frames)
+    t = 0
+    while t < t_total:
+        n = min(chunk_size, t_total - t)
+        chunk_frames = []
+        for _ in range(n):
+            try:
+                chunk_frames.append(next(frame_iter))
+            except StopIteration:
+                break
+        if not chunk_frames:
             break
-        cams = labels.cameras_at(t)
-        ja = jnp.asarray(labels.joint_angles[t])
-        wr = jnp.asarray(labels.wrist_transforms[t])
-        conf = jnp.asarray(labels.hand_confidences[t])
-        state, res = step(state, jnp.asarray(frame, jnp.float32), cams, ja, wr, conf)
+        n = len(chunk_frames)
+        sl = slice(t, t + n)
+        # pad the tail chunk to the static chunk_size (masked out after)
+        pad = chunk_size - n
+        def pad0(a):
+            return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) if pad else a
 
-        hv = np.asarray(res.hand_valid)
-        valid[:, t] = hv
-        if hv.any():
-            tracked[:, t] = np.asarray(fk(res.joint_angles, res.wrist_xfs))
-            gt[:, t] = np.asarray(fk_gt(ja, wr))
+        images_c = pad0(np.asarray(chunk_frames, np.float32))
+        cam_c = pad0(labels.camera_to_world[sl])
+        ja_c = pad0(labels.joint_angles[sl])
+        wr_c = pad0(labels.wrist_transforms[sl])
+        conf_c = pad0(labels.hand_confidences[sl])
+
+        state, res = run_chunk(
+            state,
+            jnp.asarray(images_c),
+            jnp.asarray(cam_c),
+            jnp.asarray(ja_c),
+            jnp.asarray(wr_c),
+            jnp.asarray(conf_c),
+        )
+
+        hv = np.asarray(res.hand_valid)[:n]  # (n, 2)
+        valid[:, sl] = hv.T
+        tracked[:, sl] = np.moveaxis(
+            np.asarray(fk(res.joint_angles, res.wrist_xfs))[:n], 0, 1
+        )
+        gt[:, sl] = np.moveaxis(
+            np.asarray(fk_gt(jnp.asarray(ja_c), jnp.asarray(wr_c)))[:n], 0, 1
+        )
         if res.predicted_scales is not None:
-            scales[:, t] = np.asarray(res.predicted_scales)
-        raw_angles[:, t] = np.asarray(res.joint_angles)
-        raw_wrists[:, t] = np.asarray(res.wrist_xfs)
+            scales[:, sl] = np.asarray(res.predicted_scales)[:n].T
+        raw_angles[:, sl] = np.moveaxis(np.asarray(res.joint_angles)[:n], 0, 1)
+        raw_wrists[:, sl] = np.moveaxis(np.asarray(res.wrist_xfs)[:n], 0, 1)
+        t += n
 
     return SequenceResult(
         tracked_keypoints=tracked,
