@@ -42,19 +42,26 @@ def build_model(
 
 
 def gt_landmark_sequence(labels: HandPoseLabels) -> np.ndarray:
-    """(T, 2, 21, 3) FK landmarks of the GT poses (world, mm)."""
+    """(T, 2, 21, 3) FK landmarks of the GT poses (world, mm).
+
+    Pinned to the CPU backend: this is host-side prep; dispatching its many
+    small ops to a remote accelerator costs a round trip per op.
+    """
+    from ..utils.runtime import on_cpu
+
     t = len(labels)
-    hand_b = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (t, NUM_HANDS) + x.shape), labels.hand_model
-    )
-    hand_idx = jnp.broadcast_to(jnp.arange(NUM_HANDS), (t, NUM_HANDS))
-    lm = landmarks_from_hand_pose(
-        hand_b,
-        jnp.asarray(labels.joint_angles),
-        jnp.asarray(labels.wrist_transforms),
-        hand_idx,
-    )
-    return np.asarray(lm)
+    with on_cpu():
+        hand_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (t, NUM_HANDS) + x.shape), labels.hand_model
+        )
+        hand_idx = jnp.broadcast_to(jnp.arange(NUM_HANDS), (t, NUM_HANDS))
+        lm = jax.jit(landmarks_from_hand_pose)(
+            hand_b,
+            jnp.asarray(labels.joint_angles),
+            jnp.asarray(labels.wrist_transforms),
+            hand_idx,
+        )
+        return np.asarray(lm)
 
 
 @dataclasses.dataclass

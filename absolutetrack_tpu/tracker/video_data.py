@@ -146,21 +146,25 @@ class SyntheticFrameSource:
         self.blob_sigma = blob_sigma
 
     def render_frame(self, frame_idx: int) -> np.ndarray:
+        import jax
         import jax.numpy as jnp
+
+        from ..utils.runtime import on_cpu
 
         labels = self.labels
         w, h = self.image_size
         v = labels.num_views
-        cams = labels.cameras_at(frame_idx)
         out = np.zeros((v, h, w), np.float32)
         ys, xs = np.mgrid[0:h, 0:w]
         for hand in range(2):
             if labels.hand_confidences[frame_idx, hand] <= 0:
                 continue
-            lm = jnp.asarray(self.landmarks[frame_idx, hand])  # (21, 3)
-            eye = cam.world_to_eye(cams, lm[None])  # (V, 21, 3)
-            win = np.asarray(cam.eye_to_window(cams, eye, labels.camera_kind))
-            z = np.asarray(eye)[..., 2]
+            with on_cpu():  # host-side prep math stays off the accelerator
+                cams = labels.cameras_at(frame_idx)
+                lm = jnp.asarray(self.landmarks[frame_idx, hand])  # (21, 3)
+                eye = cam.world_to_eye(cams, lm[None])  # (V, 21, 3)
+                win = np.asarray(cam.eye_to_window(cams, eye, labels.camera_kind))
+                z = np.asarray(eye)[..., 2]
             for vi in range(v):
                 for k in range(21):
                     if z[vi, k] <= 0:

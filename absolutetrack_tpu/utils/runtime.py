@@ -25,3 +25,22 @@ def force_cpu() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def cpu_device():
+    """The host CPU device (exists alongside any accelerator backend)."""
+    import jax
+
+    return jax.local_devices(backend="cpu")[0]
+
+
+def on_cpu():
+    """Context manager pinning ops to the CPU backend.
+
+    Host-side prep math (label FK, synthetic rendering, tiny geometry)
+    must NOT dispatch op-by-op to a remote accelerator -- each op pays the
+    tunnel round trip. Wrap such code in ``with on_cpu():``.
+    """
+    import jax
+
+    return jax.default_device(cpu_device())
