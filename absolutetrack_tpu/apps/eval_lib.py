@@ -34,10 +34,13 @@ NUM_LANDMARKS = 21
 def build_model(
     checkpoint: Optional[str] = None, cfg: ModelConfig = ModelConfig(), seed: int = 0
 ) -> UmeTrackModel:
-    if checkpoint:
-        params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint, cfg))
-    else:
-        params = init_umetrack_params(jax.random.PRNGKey(seed), cfg)
+    from ..utils.runtime import on_cpu
+
+    with on_cpu():  # init op-by-op on host; params move at first jit use
+        if checkpoint:
+            params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint, cfg))
+        else:
+            params = init_umetrack_params(jax.random.PRNGKey(seed), cfg)
     return UmeTrackModel(params, cfg)
 
 

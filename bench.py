@@ -31,9 +31,12 @@ def build_tpu_step():
     from absolutetrack_tpu.tracker import HandTracker, TrackerConfig
     from absolutetrack_tpu.tracker.video_data import load_labels
 
+    from absolutetrack_tpu.utils.runtime import on_cpu
+
     labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
     cfg = ModelConfig()
-    params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+    with on_cpu():  # init on host; jit moves params to the accelerator
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
     model = UmeTrackModel(params, cfg)
     tracker = HandTracker(model, TrackerConfig())
 

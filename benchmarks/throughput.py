@@ -42,8 +42,11 @@ def main(argv=None):
     )
     from absolutetrack_tpu.models.umetrack import SkeletonInputs
 
+    from absolutetrack_tpu.utils.runtime import on_cpu
+
     cfg = ModelConfig()
-    params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+    with on_cpu():
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
     model = UmeTrackModel(params, cfg)
     b, t = args.batch, args.window
 
