@@ -155,7 +155,8 @@ class SyntheticFrameSource:
         w, h = self.image_size
         v = labels.num_views
         out = np.zeros((v, h, w), np.float32)
-        ys, xs = np.mgrid[0:h, 0:w]
+        r = int(4 * self.blob_sigma) + 1  # local support; beyond 4 sigma ~ 0
+        span = np.arange(-r, r + 1, dtype=np.float32)
         for hand in range(2):
             if labels.hand_confidences[frame_idx, hand] <= 0:
                 continue
@@ -172,8 +173,15 @@ class SyntheticFrameSource:
                     x0, y0 = win[vi, k]
                     if not (0 <= x0 < w and 0 <= y0 < h):
                         continue
-                    d2 = (xs - x0) ** 2 + (ys - y0) ** 2
-                    out[vi] += 255.0 * np.exp(-d2 / (2 * self.blob_sigma**2))
+                    xi, yi = int(round(float(x0))), int(round(float(y0)))
+                    xs_l = np.clip(xi + np.arange(-r, r + 1), 0, w - 1)
+                    ys_l = np.clip(yi + np.arange(-r, r + 1), 0, h - 1)
+                    dx2 = (xi + span - x0) ** 2
+                    dy2 = (yi + span - y0) ** 2
+                    blob = 255.0 * np.exp(
+                        -(dy2[:, None] + dx2[None, :]) / (2 * self.blob_sigma**2)
+                    )
+                    out[vi][np.ix_(ys_l, xs_l)] += blob
         return np.clip(out, 0, 255)
 
     def __iter__(self) -> Iterator[np.ndarray]:
