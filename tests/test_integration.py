@@ -162,3 +162,14 @@ class TestSingleViewPackedPath:
         )
         assert np.isfinite(err1).all() and np.isfinite(err2).all()
         assert not np.allclose(err1, err2)
+
+
+class TestChunkInvariance:
+    def test_chunk_size_does_not_change_results(self, model, labels, frames):
+        """Chunked scan must be bit-equivalent to per-frame stepping."""
+        r1 = eval_lib.track_recording(model, labels, frames, max_frames=5, chunk_size=1)
+        r4 = eval_lib.track_recording(model, labels, frames, max_frames=5, chunk_size=4)
+        np.testing.assert_array_equal(r1.valid_tracking, r4.valid_tracking)
+        np.testing.assert_allclose(
+            r1.tracked_keypoints, r4.tracked_keypoints, atol=2e-2
+        )
