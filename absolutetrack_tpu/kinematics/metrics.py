@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 MAX_LANDMARK_ERROR_MM = 50.0
-PCK_THRESHOLDS = np.linspace(0.0, MAX_LANDMARK_ERROR_MM, 101)
+# float32 so jnp.asarray under the default x64-disabled config is exact
+# (a float64 array would emit a truncation UserWarning on every call).
+PCK_THRESHOLDS = np.linspace(0.0, MAX_LANDMARK_ERROR_MM, 101, dtype=np.float32)
 
 
 def mpjpe(
@@ -51,7 +53,9 @@ def pck_curve(
     Masked variant of reference ``PCK_curve`` (metric_utils.py:35-84) over the
     flattened error array.
     """
-    errors = errors.reshape(-1)
+    # jnp.asarray without an explicit dtype: float64 numpy inputs convert
+    # to float32 silently instead of warning on every aggregation run
+    errors = jnp.asarray(errors).reshape(-1)
     if mask is None:
         mask = jnp.ones_like(errors, dtype=bool)
     else:
@@ -73,7 +77,7 @@ def pck_curve_per_axis(
     Equivalent of reference ``PCK_curve(axis=...)`` (metric_utils.py:46-84),
     e.g. per-hand or per-landmark curves.
     """
-    errors = jnp.moveaxis(errors, axis, 0)
+    errors = jnp.moveaxis(jnp.asarray(errors), axis, 0)
     n = errors.shape[0]
     errors = errors.reshape(n, -1)
     if mask is None:

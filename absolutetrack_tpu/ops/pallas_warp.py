@@ -6,19 +6,13 @@ boundary op (reference _warp_image, tracker.py:61-89). The XLA fallback in
 keeps each source view resident in VMEM (480x636 f32 = 1.2 MB << 16 MB)
 and fuses the coordinate chain with an in-VMEM bilinear gather.
 
-Gather strategy: Mosaic has no general 2D vector gather, so the kernel
-gathers rows by dynamic index inside a fori_loop over the 8-row sublane
-granule and selects columns with one-hot matmuls on the MXU... which is
-wasteful. Instead we use the practical formulation that Mosaic lowers
-well: ``jnp.take`` of a flattened source with precomputed linear indices,
-executed per output row block. If the take lowering is rejected by the
-installed Mosaic version, callers fall back to the XLA path
-(``warp_perspective_crop``); use ``pallas_warp_supported()`` to probe.
+Strategy: Mosaic has no general 2D vector gather, so bilinear sampling is
+reformulated as two one-hot interpolation matmuls that ride the MXU (see
+below). Callers without a TPU backend use the XLA gather path in
+``ops.resample`` instead.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,84 +22,6 @@ try:  # pltpu only exists on TPU-enabled installs
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
     pltpu = None
-
-
-def _bilinear_gather_kernel(img_ref, coords_ref, out_ref):
-    """img (H, W) f32; coords (P, 2) f32 (x, y); out (P,) f32."""
-    h, w = img_ref.shape
-    img_flat = img_ref[:].reshape(h * w)
-    x = coords_ref[:, 0]
-    y = coords_ref[:, 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
-    x0c = jnp.clip(x0i, 0, w - 2)
-    y0c = jnp.clip(y0i, 0, h - 2)
-    base = y0c * w + x0c
-    f00 = jnp.take(img_flat, base, axis=0)
-    f01 = jnp.take(img_flat, base + 1, axis=0)
-    f10 = jnp.take(img_flat, base + w, axis=0)
-    f11 = jnp.take(img_flat, base + w + 1, axis=0)
-    out = (
-        f00 * (1 - wx) * (1 - wy)
-        + f01 * wx * (1 - wy)
-        + f10 * (1 - wx) * wy
-        + f11 * wx * wy
-    )
-    out_ref[:] = jnp.where(valid, out, 0.0)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_bilinear_sample_one(
-    image: jnp.ndarray,  # (H, W) f32
-    coords: jnp.ndarray,  # (P, 2) f32
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Bilinear sample one image at P points -> (P,)."""
-    spec = (
-        pl.BlockSpec(memory_space=pltpu.VMEM)
-        if pltpu is not None and not interpret
-        else pl.BlockSpec()
-    )
-    return pl.pallas_call(
-        _bilinear_gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((coords.shape[0],), jnp.float32),
-        in_specs=[spec, spec],
-        out_specs=spec,
-        interpret=interpret,
-    )(image.astype(jnp.float32), coords.astype(jnp.float32))
-
-
-@functools.lru_cache(maxsize=1)
-def pallas_warp_supported() -> bool:
-    """Probe whether the installed Mosaic lowers the gather kernel."""
-    if pltpu is None:
-        return False
-    try:
-        import jax
-
-        if jax.devices()[0].platform == "cpu":
-            return False
-        img = jnp.zeros((16, 128), jnp.float32)
-        coords = jnp.zeros((256, 2), jnp.float32)
-        pallas_bilinear_sample_one(img, coords).block_until_ready()
-        return True
-    except Exception:  # noqa: BLE001 -- any lowering failure means "no"
-        return False
-
-
-def pallas_bilinear_sample(
-    images: jnp.ndarray,  # (V, H, W)
-    image_idx: jnp.ndarray,  # (N,)
-    coords: jnp.ndarray,  # (N, P, 2)
-) -> jnp.ndarray:
-    """vmap'd drop-in for ops.resample.bilinear_sample."""
-    gathered = images[image_idx]  # (N, H, W)
-    return jax.vmap(pallas_bilinear_sample_one)(gathered, coords)
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,13 @@ ConvRNN + regressor -> 3D pose, all inside ONE jit.
 
 Baseline: the same per-frame work the PyTorch reference does on CPU
 (cv2.remap warps + eval-mode torch forward of an equivalent network),
-measured live here. Prints one JSON line:
+measured live here. NOTE the baseline is an *approximation in the
+reference's favor*: it omits the reference's per-frame Python dict/loop
+orchestration, the 3-pose FK crop-point generation, and the per-camera
+visibility ranking (/root/reference/lib/tracker/tracker.py:315-368,
+perspective_crop.py:89-133), all of which the TPU step DOES include --
+so the measured baseline is faster than the real reference and
+``vs_baseline`` is conservative. Prints one JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 """
 

@@ -7,10 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from absolutetrack_tpu.ops.pallas_warp import (
-    bilinear_sample_mxu,
-    pallas_bilinear_sample_one,
-)
+from absolutetrack_tpu.ops.pallas_warp import bilinear_sample_mxu
 from absolutetrack_tpu.ops.resample import bilinear_sample
 
 
@@ -47,19 +44,3 @@ class TestOneHotMxuWarp:
         )
         want = np.asarray(imgs)[0, coords[0, :, 1].astype(int), coords[0, :, 0].astype(int)]
         np.testing.assert_allclose(out[0], want, atol=1e-4)
-
-
-class TestGatherKernel:
-    def test_interpret_parity(self):
-        rng = np.random.default_rng(2)
-        img = jnp.asarray(rng.uniform(0, 1, (40, 56)).astype(np.float32))
-        coords = jnp.asarray(
-            np.stack([rng.uniform(-2, 58, 300), rng.uniform(-2, 42, 300)], -1).astype(
-                np.float32
-            )
-        )
-        a = np.asarray(pallas_bilinear_sample_one(img, coords, interpret=True))
-        b = np.asarray(
-            bilinear_sample(img[None], jnp.zeros(1, jnp.int32), coords[None])
-        )[0]
-        np.testing.assert_allclose(a, b, atol=1e-5)

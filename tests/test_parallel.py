@@ -1,11 +1,32 @@
-"""Mesh/sharding helper tests on the virtual 8-device CPU mesh."""
+"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+
+Beyond the helper tests, TestModelMeshEquivalence runs the ACTUAL model
+(train + eval steps) under three mesh layouts -- (data=1, model=1),
+(data=8, model=1), (data=4, model=2) -- and asserts outputs and updated
+parameters agree. This is the numerical proof that the sharding layout
+(views over 'model' with XLA's all-gather at FTL fusion, batch over
+'data' with psum'd grads) computes the same function as a single device.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from absolutetrack_tpu.models import ModelConfig, init_umetrack_params
 from absolutetrack_tpu.parallel import make_mesh, shard_batch, window_shard
 from absolutetrack_tpu.parallel.distributed import allreduce_metrics, init_distributed
+from absolutetrack_tpu.training.synthetic import (
+    synthetic_hand_model_m,
+    synthetic_sequence_batch,
+)
+from absolutetrack_tpu.training.train import (
+    TrainState,
+    batch_shardings,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
 
 
 class TestMesh:
@@ -42,3 +63,109 @@ class TestDistributed:
     def test_allreduce_single_host_identity(self):
         m = {"err_sum": 3.5, "count": 7.0}
         assert allreduce_metrics(m) == m
+
+
+CFG = ModelConfig(input_size=(32, 32))
+LAYOUTS = [(1, 1), (8, 1), (4, 2)]
+
+
+def _mesh_for(data, model):
+    if data * model == 1:
+        return make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    return make_mesh(data=data, model=model)
+
+
+def _shard_seq_batch(mesh, batch):
+    shardings = batch_shardings(mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(np.asarray(x), s),
+        batch,
+        shardings,
+        is_leaf=lambda x: x is None,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh_fixture():
+    params = init_umetrack_params(jax.random.PRNGKey(0), CFG)
+    batch = synthetic_sequence_batch(8, t=3, cfg=CFG)
+    hand_m = synthetic_hand_model_m(8)
+    return params, batch, hand_m
+
+
+class TestModelMeshEquivalence:
+    """The model itself under the mesh: 1-vs-N numerical equivalence."""
+
+    def _eval_all_layouts(self, params, batch, hand_m, branch):
+        results = []
+        for data, model in LAYOUTS:
+            mesh = _mesh_for(data, model)
+            with mesh:
+                step = make_eval_step(mesh, CFG, branch=branch)
+                out = step(params, _shard_seq_batch(mesh, batch), hand_m)
+                jax.block_until_ready(out)
+            results.append(jax.tree.map(np.asarray, out))
+        return results
+
+    def test_eval_step_equivalent_across_layouts(self, mesh_fixture):
+        params, batch, hand_m = mesh_fixture
+        ref, *rest = self._eval_all_layouts(params, batch, hand_m, "known")
+        for got, layout in zip(rest, LAYOUTS[1:]):
+            np.testing.assert_allclose(
+                got["err_sum_m"], ref["err_sum_m"], rtol=1e-4,
+                err_msg=f"layout {layout}",
+            )
+            np.testing.assert_array_equal(got["err_count"], ref["err_count"])
+            np.testing.assert_allclose(
+                got["joint_angles"], ref["joint_angles"], atol=1e-4,
+                err_msg=f"layout {layout}",
+            )
+            np.testing.assert_allclose(
+                got["wrist_xfs"], ref["wrist_xfs"], atol=1e-4,
+                err_msg=f"layout {layout}",
+            )
+
+    def test_eval_step_unknown_branch_equivalent(self, mesh_fixture):
+        params, batch, hand_m = mesh_fixture
+        ref, *rest = self._eval_all_layouts(params, batch, hand_m, "unknown")
+        for got, layout in zip(rest, LAYOUTS[1:]):
+            np.testing.assert_allclose(
+                got["scales"], ref["scales"], rtol=1e-4, err_msg=f"layout {layout}"
+            )
+            np.testing.assert_allclose(
+                got["joint_angles"], ref["joint_angles"], atol=1e-4,
+                err_msg=f"layout {layout}",
+            )
+
+    def test_train_step_grads_equivalent_across_layouts(self, mesh_fixture):
+        params, batch, hand_m = mesh_fixture
+        optimizer = make_optimizer()
+        results = []
+        for data, model in LAYOUTS:
+            mesh = _mesh_for(data, model)
+            # the train step donates its state arg -- give each layout its
+            # own copy so the shared fixture params survive
+            p = jax.tree.map(jnp.array, params)
+            state = TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
+            with mesh:
+                step = make_train_step(mesh, CFG, optimizer, branch="known")
+                new_state, metrics = step(state, _shard_seq_batch(mesh, batch), hand_m)
+                jax.block_until_ready(new_state.params)
+            results.append(
+                (
+                    jax.tree.map(np.asarray, new_state.params),
+                    float(metrics["total"]),
+                )
+            )
+        ref_params, ref_loss = results[0]
+        for (got_params, got_loss), layout in zip(results[1:], LAYOUTS[1:]):
+            assert abs(got_loss - ref_loss) / max(abs(ref_loss), 1e-9) < 1e-4, layout
+            for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(ref_params),
+                jax.tree_util.tree_leaves_with_path(got_params),
+            ):
+                scale = max(np.abs(a).max(), 1e-9)
+                np.testing.assert_allclose(
+                    b / scale, a / scale, atol=2e-3,
+                    err_msg=f"layout {layout}, leaf {jax.tree_util.keystr(ka)}",
+                )
