@@ -211,6 +211,186 @@ def track_recording(
     )
 
 
+def track_recordings_batched(
+    model: UmeTrackModel,
+    recordings,  # list of (HandPoseLabels, frame iterable) pairs
+    hand_models_mm: Optional[list] = None,  # per-recording tracking skeletons
+    opts: TrackerConfig = TrackerConfig(),
+    min_num_crops: int = 1,
+    calibrate_scale: bool = False,
+    max_frames: Optional[int] = None,
+    chunk_size: int = 8,
+) -> list:
+    """Track R recordings in lockstep on one chip -> list of SequenceResult.
+
+    TPU-native analog of the reference's ``Pool(8).map_async`` over
+    sequences (run_eval_known_skeleton.py:116-119): one jitted step advances
+    every recording one frame (batch = R x 2 hand slots), filling the chip
+    instead of forking processes. Per-recording results match the
+    sequential ``track_recording`` path numerically (each recording keeps
+    its own cameras, hand model, temporal memory, and validity history).
+
+    Shorter recordings pad with zero-confidence frames (their hand slots go
+    invalid, results are trimmed on return). All recordings must share the
+    view count, image size, and camera kind.
+    """
+    from ..tracker.batched import BatchedTracker
+
+    labels_list = [lab for lab, _ in recordings]
+    r = len(labels_list)
+    kinds = {lab.camera_kind for lab in labels_list}
+    views = {lab.num_views for lab in labels_list}
+    assert len(kinds) == 1 and len(views) == 1, "recordings must share rig layout"
+    src_kind = labels_list[0].camera_kind
+
+    tracker = BatchedTracker(model, opts)
+    hands_mm = (
+        hand_models_mm
+        if hand_models_mm is not None
+        else [lab.hand_model for lab in labels_list]
+    )
+    hand_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *hands_mm)
+    base_cams = jax.tree.map(lambda *xs: jnp.stack(xs), *[l.cameras for l in labels_list])
+    camera_angles = jnp.stack([jnp.asarray(l.camera_angles) for l in labels_list])
+
+    def frame_step(state, images, cam_t, ja, wr, conf):
+        cams = base_cams._replace(T_world_from_eye=cam_t)
+        if calibrate_scale:
+            return tracker.track_frames_and_calibrate_scale(
+                state, images, cams, camera_angles, hand_stack, ja, wr, conf,
+                src_kind=src_kind,
+            )
+        return tracker.track_frames(
+            state, images, cams, camera_angles, hand_stack, ja, wr, conf,
+            min_num_crops=min_num_crops, src_kind=src_kind,
+        )
+
+    @jax.jit
+    def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+        def body(state, xs):
+            state, res = frame_step(state, *xs)
+            return state, res
+
+        return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
+
+    lengths = [
+        len(lab) if max_frames is None else min(max_frames, len(lab))
+        for lab in labels_list
+    ]
+    t_total = max(lengths)
+    tracked = np.zeros((r, NUM_HANDS, t_total, NUM_LANDMARKS, 3), np.float32)
+    gt = np.zeros_like(tracked)
+    valid = np.zeros((r, NUM_HANDS, t_total), bool)
+    scales = np.zeros((r, NUM_HANDS, t_total), np.float32)
+    raw_angles = np.zeros((r, NUM_HANDS, t_total, 22), np.float32)
+    raw_wrists = np.zeros((r, NUM_HANDS, t_total, 4, 4), np.float32)
+
+    # FK hand models broadcast per hand slot: tracked poses use the tracking
+    # skeleton, GT poses the recording's own GT skeleton
+    def _hand2(hm):
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], NUM_HANDS) + x.shape[1:]),
+            hm,
+        )
+
+    hand_fk = _hand2(hand_stack)
+    gt_hand_fk = _hand2(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *[l.hand_model for l in labels_list])
+    )
+    hand_idx = jnp.broadcast_to(jnp.arange(NUM_HANDS), (r, NUM_HANDS))
+    fk = jax.jit(lambda ja, wr: landmarks_from_hand_pose(hand_fk, ja, wr, hand_idx))
+    fk_gt = jax.jit(
+        lambda ja, wr: landmarks_from_hand_pose(gt_hand_fk, ja, wr, hand_idx)
+    )
+
+    state = tracker.init_state(r)
+    frame_iters = [iter(frames) for _, frames in recordings]
+    last_frames = [None] * r
+    zeros_like_first = None
+    v = labels_list[0].num_views
+
+    t = 0
+    while t < t_total:
+        n = min(chunk_size, t_total - t)
+        # assemble (chunk_size, R, ...) host arrays; recordings past their
+        # end repeat their last frame with zero confidence (masked out)
+        imgs = []
+        cams_c = []
+        ja_c = []
+        wr_c = []
+        conf_c = []
+        for ti in range(chunk_size):
+            ft = t + min(ti, n - 1)
+            row_img, row_cam, row_ja, row_wr, row_cf = [], [], [], [], []
+            for ri, lab in enumerate(labels_list):
+                live = ft < lengths[ri] and ti < n
+                if live:
+                    try:
+                        frame = next(frame_iters[ri])
+                        last_frames[ri] = frame
+                    except StopIteration:
+                        live = False
+                        lengths[ri] = min(lengths[ri], ft)
+                if last_frames[ri] is None:
+                    if zeros_like_first is None:
+                        zeros_like_first = np.zeros(
+                            (v, 480, 636), np.float32
+                        )  # pragma: no cover - only if rec 0 is empty
+                    last_frames[ri] = zeros_like_first
+                idx = min(ft, len(lab) - 1)
+                row_img.append(np.asarray(last_frames[ri], np.float32))
+                row_cam.append(lab.camera_to_world[idx])
+                row_ja.append(lab.joint_angles[idx])
+                row_wr.append(lab.wrist_transforms[idx])
+                row_cf.append(
+                    lab.hand_confidences[idx]
+                    if live
+                    else np.zeros_like(lab.hand_confidences[idx])
+                )
+            imgs.append(np.stack(row_img))
+            cams_c.append(np.stack(row_cam))
+            ja_c.append(np.stack(row_ja))
+            wr_c.append(np.stack(row_wr))
+            conf_c.append(np.stack(row_cf))
+
+        state, res = run_chunk(
+            state,
+            jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(cams_c)),
+            jnp.asarray(np.stack(ja_c)),
+            jnp.asarray(np.stack(wr_c)),
+            jnp.asarray(np.stack(conf_c)),
+        )
+
+        sl = slice(t, t + n)
+        hv = np.asarray(res.hand_valid)[:n]  # (n, R, 2)
+        valid[:, :, sl] = np.moveaxis(hv, 0, 2)
+        tk = np.asarray(fk(res.joint_angles, res.wrist_xfs))[:n]  # (n, R, 2, 21, 3)
+        tracked[:, :, sl] = np.moveaxis(tk, 0, 2)
+        gk = np.asarray(fk_gt(jnp.asarray(np.stack(ja_c)), jnp.asarray(np.stack(wr_c))))[:n]
+        gt[:, :, sl] = np.moveaxis(gk, 0, 2)
+        if res.predicted_scales is not None:
+            scales[:, :, sl] = np.moveaxis(np.asarray(res.predicted_scales)[:n], 0, 2)
+        raw_angles[:, :, sl] = np.moveaxis(np.asarray(res.joint_angles)[:n], 0, 2)
+        raw_wrists[:, :, sl] = np.moveaxis(np.asarray(res.wrist_xfs)[:n], 0, 2)
+        t += n
+
+    results = []
+    for ri in range(r):
+        li = lengths[ri]
+        results.append(
+            SequenceResult(
+                tracked_keypoints=tracked[ri, :, :li],
+                gt_keypoints=gt[ri, :, :li],
+                valid_tracking=valid[ri, :, :li],
+                predicted_scales=scales[ri, :, :li] if calibrate_scale else None,
+                joint_angles=raw_angles[ri, :, :li],
+                wrist_xfs=raw_wrists[ri, :, :li],
+            )
+        )
+    return results
+
+
 def frames_for(labels: HandPoseLabels, video_path: Optional[str]):
     """Real decoded frames when the mp4 exists, synthetic blobs otherwise."""
     import os

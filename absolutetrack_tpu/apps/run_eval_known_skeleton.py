@@ -4,7 +4,9 @@ Walks a data root for `*.json` label files (with optional sibling `.mp4`),
 tracks each sequence with GT-pose-driven crop cameras and the user's own
 hand model, and writes per-sequence result `.npy` files consumable by
 ``load_eval.py``. Sequences shard across processes/hosts by (rank,
-world_size) instead of a multiprocessing Pool.
+world_size); within a process, ``--batch-recordings N`` tracks N
+sequences in lockstep on the chip (the TPU-native analog of the
+reference's ``Pool(8).map_async``, run_eval_known_skeleton.py:116-119).
 
 Usage:
   python -m absolutetrack_tpu.apps.run_eval_known_skeleton \
@@ -31,6 +33,8 @@ def find_label_files(input_dir: str, test_only: bool = True):
         if test_only and "testing" not in cur:
             continue
         for f in sorted(fnmatch.filter(files, "*.json")):
+            if f.startswith("."):  # AppleDouble/hidden junk (._foo.json)
+                continue
             out.append(os.path.join(cur, f))
     return out
 
@@ -45,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--override", action="store_true")
+    ap.add_argument(
+        "--batch-recordings", type=int, default=1,
+        help="track N sequences in lockstep per dispatch (fills the chip)",
+    )
     args = ap.parse_args(argv)
 
     label_files = find_label_files(args.input_dir, args.test_only)
@@ -53,17 +61,8 @@ def main(argv=None):
 
     model = eval_lib.build_model(args.checkpoint)
     errors = []
-    for lf in label_files:
-        rel = os.path.relpath(lf, args.input_dir)[:-5]
-        out_path = os.path.join(args.output_dir, rel + ".npy")
-        if not args.override and os.path.exists(out_path):
-            print(f"skip {rel} (exists)")
-            continue
-        labels = load_labels(lf)
-        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
-        res = eval_lib.track_recording(
-            model, labels, frames, min_num_crops=1, max_frames=args.max_frames
-        )
+
+    def save_result(lf, rel, out_path, res):
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "wb") as f:
             pickle.dump(
@@ -80,6 +79,38 @@ def main(argv=None):
         errors.append(err)
         print(f"{rel}: mean keypoint error {err.mean():.2f} mm "
               f"({res.valid_tracking.sum()} tracked)")
+
+    pending = []  # (label_file, rel, out_path)
+    for lf in label_files:
+        rel = os.path.relpath(lf, args.input_dir)[:-5]
+        out_path = os.path.join(args.output_dir, rel + ".npy")
+        if not args.override and os.path.exists(out_path):
+            print(f"skip {rel} (exists)")
+            continue
+        pending.append((lf, rel, out_path))
+
+    b = max(1, args.batch_recordings)
+    for i in range(0, len(pending), b):
+        group = pending[i : i + b]
+        if len(group) == 1 or b == 1:
+            for lf, rel, out_path in group:
+                labels = load_labels(lf)
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                res = eval_lib.track_recording(
+                    model, labels, frames, min_num_crops=1,
+                    max_frames=args.max_frames,
+                )
+                save_result(lf, rel, out_path, res)
+        else:
+            recs = []
+            for lf, _rel, _out in group:
+                labels = load_labels(lf)
+                recs.append((labels, eval_lib.frames_for(labels, lf[:-5] + ".mp4")))
+            results = eval_lib.track_recordings_batched(
+                model, recs, min_num_crops=1, max_frames=args.max_frames
+            )
+            for (lf, rel, out_path), res in zip(group, results):
+                save_result(lf, rel, out_path, res)
 
     if errors:
         print(f"Final mean error: {np.concatenate(errors).mean():.3f} mm")

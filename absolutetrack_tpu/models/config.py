@@ -25,6 +25,22 @@ class ModelConfig:
     input_size: Tuple[int, int] = (96, 96)
     canonical_focal_length: float = 200.0
     num_views: int = 2
+    # "float32" (parity; MXU precision set by layers.set_conv_precision) or
+    # "bfloat16" (serving: bf16 activations+weights through the conv trunk,
+    # f32 geometry/pooling/Procrustes decode). End-to-end landmark drift vs
+    # the f32 trunk is pinned by tests/test_models.py::TestServingPrecision.
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    @classmethod
+    def serving(cls, **overrides) -> "ModelConfig":
+        """The supported fast-serving preset: bf16 conv trunk."""
+        return cls(compute_dtype="bfloat16", **overrides)
 
     @property
     def feature_size(self) -> Tuple[int, int]:

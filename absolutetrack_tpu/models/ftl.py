@@ -39,8 +39,10 @@ def apply_ftl(
 
     x = jnp.moveaxis(feature_maps[..., :nc_ftl], -1, 1)  # (N, C', H, W)
     pts = x.reshape(n, 3, (nc_ftl // 3) * h * w)
-    r = xfs[:, :3, :3]
-    t = xfs[:, :3, 3]
+    # serving mode: transforms follow the (bf16) feature dtype so the FTL
+    # matmul stays on the fast MXU path instead of promoting to f32
+    r = xfs[:, :3, :3].astype(feature_maps.dtype)
+    t = xfs[:, :3, 3].astype(feature_maps.dtype)
     pts = einsum("nij,njk->nik", r, pts) + t[..., None]
     x = jnp.moveaxis(pts.reshape(n, nc_ftl, h, w), 1, -1)
 

@@ -60,15 +60,18 @@ def conv2d(
     kh, kw = p["w"].shape[:2]
     if padding == "SAME1":
         padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    # serving mode: activations arrive bf16; weights follow the activation
+    # dtype (MXU bf16 multiply, f32 accumulate), output stays bf16
+    w = p["w"].astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_conv_precision,
     )
-    return out + p["b"]
+    return out + p["b"].astype(x.dtype)
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -87,7 +90,10 @@ def init_linear(rng, cin, cout) -> dict:
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(x, p["w"], precision=_conv_precision) + p["b"]
+    return (
+        jnp.matmul(x, p["w"].astype(x.dtype), precision=_conv_precision)
+        + p["b"].astype(x.dtype)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -96,7 +96,9 @@ def regress_poses(
     for p in params["blocks"]:
         x = basic_block(p, x)
     x = conv2d(params["out"], x)
-    pose = jnp.mean(x, axis=(1, 2))  # global average pool -> (B, n_out)
+    # pool + decode in f32 regardless of the trunk's compute dtype: the
+    # Procrustes/exp/softplus decoders are geometry, not MXU work
+    pose = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # (B, n_out)
 
     ranges, _ = output_dims(predict_skel_scale, cfg.n_wrist_rigid_pts)
     b = pose.shape[0]

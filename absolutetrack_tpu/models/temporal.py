@@ -62,6 +62,7 @@ def temporal_step(
     # the transform input is zeroed first (matching the reference, which
     # zeroes non-use slots *before* transforming -- temporal.py:59-63).
     mem = jnp.where(use_memory[:, None, None, None], state.mem_features, 0.0)
+    mem = mem.astype(img_features.dtype)  # serving: bf16 through the cell
     prev_ext = jnp.where(use_memory[:, None, None], state.prev_extrinsics, 0.0)
     # For unused slots prev_ext is singular; feed identity to keep the math
     # finite, then mask the result.
@@ -81,5 +82,10 @@ def temporal_step(
 
     new_mem = x[..., :m]
     fused = x[..., m:]
-    new_state = TemporalState(mem_features=new_mem, prev_extrinsics=cur_extrinsics)
+    # the carried state keeps its original dtype (scan carries must be
+    # dtype-stable; memory stays f32 even when the cell computes in bf16)
+    new_state = TemporalState(
+        mem_features=new_mem.astype(state.mem_features.dtype),
+        prev_extrinsics=cur_extrinsics,
+    )
     return new_state, fused

@@ -103,7 +103,7 @@ class UmeTrackModel:
         """Backbone + FTL fusion -> (B, h, w, C) cam0-space features."""
         p, cfg = self.params, self.cfg
         b, v, hh, ww = frame.left_images.shape
-        imgs = frame.left_images.reshape(b * v, hh, ww, 1)
+        imgs = frame.left_images.reshape(b * v, hh, ww, 1).astype(cfg.dtype)
         feats = backbone_apply(p["backbone"], imgs, cfg)
         feats = feats.reshape((b, v) + feats.shape[1:])
         singlev_xfs = compute_singlev_xfs(
@@ -146,7 +146,7 @@ class UmeTrackModel:
         )
         if skel.shape[0] == 1 and tfeat.shape[0] > 1:
             skel = jnp.broadcast_to(skel, (tfeat.shape[0],) + skel.shape[1:])
-        x = jnp.concatenate([tfeat, skel], axis=-1)
+        x = jnp.concatenate([tfeat, skel.astype(tfeat.dtype)], axis=-1)
 
         out = regress_poses(self.params["regressor_k"], x, self.cfg, False)
         wrist = _recover_wrist_in_world(

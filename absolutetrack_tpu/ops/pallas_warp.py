@@ -3,19 +3,31 @@
 The fisheye->pinhole crop resample is the framework's hot host->compute
 boundary op (reference _warp_image, tracker.py:61-89). The XLA fallback in
 ``ops.resample`` expresses the gather with advanced indexing; this kernel
-keeps each source view resident in VMEM (480x636 f32 = 1.2 MB << 16 MB)
-and fuses the coordinate chain with an in-VMEM bilinear gather.
+reformulates bilinear sampling as one-hot interpolation matmuls that ride
+the MXU (Mosaic has no general 2D vector gather).
 
-Strategy: Mosaic has no general 2D vector gather, so bilinear sampling is
-reformulated as two one-hot interpolation matmuls that ride the MXU (see
-below). Callers without a TPU backend use the XLA gather path in
-``ops.resample`` instead.
+Band-limited formulation: a 512-pixel output tile of a 96x96 crop spans
+only ~5 crop rows, whose source rows fall in a narrow band (typically
+10-40 of the 480 source rows). Instead of contracting the one-hot rowmix
+against ALL source rows, each (slot, tile) grid step DMAs just TWO
+adjacent _BAND-row blocks -- a 2*_BAND-row window positioned by a
+scalar-prefetch index map -- and contracts against that window. This cuts
+MXU FLOPs and keeps VMEM usage per grid step tiny and independent of the
+slot count, so arbitrarily many crop slots (the batched multi-recording
+eval path) stream through the same kernel.
+
+A per-call validity check (computed in XLA) verifies every tile's source
+rows fit its window; the rare violator (extreme zoom-out crops) falls back
+to the XLA gather path via ``lax.cond``.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 
 try:  # pltpu only exists on TPU-enabled installs
@@ -27,64 +39,72 @@ except Exception:  # pragma: no cover
 # ---------------------------------------------------------------------------
 # MXU formulation: bilinear sampling as two one-hot interpolation matmuls.
 #
-# For a tile of P output pixels with source coords (x, y):
-#   rowmix[p, h] = (h == floor(y_p)) (1 - wy_p) + (h == floor(y_p)+1) wy_p
-#   tmp          = rowmix @ img                  -- vertical lerp on the MXU
+# For a tile of P output pixels with source coords (x, y) and a row window
+# [base, base + 2*_BAND):
+#   rowmix[p, r] = (r == y0_p - base) (1 - wy_p) + (r == y0_p - base + 1) wy_p
+#   tmp          = rowmix @ window                -- vertical lerp on the MXU
 #   colmix[p, w] = (w == floor(x_p)) (1 - wx_p) + (w == floor(x_p)+1) wx_p
 #   out[p]       = sum_w tmp[p, w] * colmix[p, w] -- horizontal lerp
 #
 # No gather anywhere: only iota compares, elementwise math, and a matmul --
-# all first-class Mosaic ops. The source view stays VMEM-resident across
-# the whole grid; each tile touches ~(TILE x H + TILE x W) floats of
-# scratch that never leave VMEM. Trades ~2 P H W FLOPs (MXU food) for the
-# serial gather XLA would otherwise emit.
+# all first-class Mosaic ops.
 # ---------------------------------------------------------------------------
 
 _TILE = 512
+_BAND = 48  # row block height; each tile contracts a 2*_BAND-row window
 
 
-def _onehot_warp_kernel(img_ref, coords_ref, out_ref):
-    """img (N, H, W) -- all slot views VMEM-resident; coords (N, TILE, 2);
-    out (N, TILE). Unrolls the (small, static) slot dimension; each slot
-    does two one-hot lerp contractions on the MXU."""
-    n, h, w = img_ref.shape
-    for s in range(n):
-        x = coords_ref[s, :, 0]
-        y = coords_ref[s, :, 1]
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx = x - x0
-        wy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
-        x0c = jnp.clip(x0i, 0, w - 2)
-        y0c = jnp.clip(y0i, 0, h - 2)
+def _banded_warp_kernel(h, w, kref, lo_ref, hi_ref, coords_ref, out_ref):
+    """One (slot, tile) grid step.
 
-        p = x.shape[0]
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (p, h), 1)
-        rowmix = (
-            jnp.where(iota_h == y0c[:, None], 1.0 - wy[:, None], 0.0)
-            + jnp.where(iota_h == y0c[:, None] + 1, wy[:, None], 0.0)
-        )
-        # bf16 inputs + f32 accumulate: doubles MXU rate. The bf16 weight
-        # quantization (~4e-3 relative) is ~8x FINER than cv2.remap's own
-        # INTER_LINEAR fixed-point weights (5 fractional bits, 1/32 steps,
-        # the reference's sampler) -- still sub-LSB for uint8-valued
-        # source images.
-        tmp = jnp.dot(
-            rowmix.astype(jnp.bfloat16),
-            img_ref[s].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+    kref   : (N, T) scalar-prefetch row-block indices (also drives the
+             lo/hi block index maps).
+    lo/hi  : (1, _BAND, W) adjacent source-row blocks = the row window.
+    coords : (1, _TILE, 2); out : (1, _TILE).
+    ``h``/``w`` are the UNPADDED source dims (bound via partial).
+    """
+    s = pl.program_id(0)
+    t = pl.program_id(1)
+    base = kref[s, t] * _BAND
 
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (p, w), 1)
-        colmix = (
-            jnp.where(iota_w == x0c[:, None], 1.0 - wx[:, None], 0.0)
-            + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
-        )
-        out = jnp.sum(tmp * colmix, axis=1)
-        out_ref[s, :] = jnp.where(valid, out, 0.0)
+    x = coords_ref[0, :, 0]
+    y = coords_ref[0, :, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0r = jnp.clip(y0i, 0, h - 2) - base  # row index relative to the window
+
+    p = x.shape[0]
+    band2 = 2 * _BAND
+    window = jnp.concatenate([lo_ref[0], hi_ref[0]], axis=0)  # (2*_BAND, W)
+
+    iota_r = lax.broadcasted_iota(jnp.int32, (p, band2), 1)
+    rowmix = (
+        jnp.where(iota_r == y0r[:, None], 1.0 - wy[:, None], 0.0)
+        + jnp.where(iota_r == y0r[:, None] + 1, wy[:, None], 0.0)
+    )
+    # bf16 inputs + f32 accumulate: doubles MXU rate. The bf16 weight
+    # quantization (~4e-3 relative) is ~8x FINER than cv2.remap's own
+    # INTER_LINEAR fixed-point weights (5 fractional bits, 1/32 steps,
+    # the reference's sampler) -- still sub-LSB for uint8-valued sources.
+    tmp = jnp.dot(
+        rowmix.astype(jnp.bfloat16),
+        window.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    iota_w = lax.broadcasted_iota(jnp.int32, (p, window.shape[1]), 1)
+    colmix = (
+        jnp.where(iota_w == x0c[:, None], 1.0 - wx[:, None], 0.0)
+        + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
+    )
+    out = jnp.sum(tmp * colmix, axis=1)
+    out_ref[0, :] = jnp.where(valid, out, 0.0)
 
 
 def bilinear_sample_mxu(
@@ -93,25 +113,69 @@ def bilinear_sample_mxu(
     coords: jnp.ndarray,  # (N, P, 2) f32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One-hot-matmul bilinear sampling -> (N, P). P must divide by 512.
+    """One-hot-matmul banded bilinear sampling -> (N, P).
 
-    Grid iterates pixel tiles; all N slot views stay VMEM-resident
-    (N x 480 x 636 f32 ~= 4.9 MB for the 4-slot tracker frame).
+    Any P (padded internally to a 512 multiple) and any slot count N (the
+    grid streams one (slot, row-window) block pair per step; nothing scales
+    with N in VMEM). Tiles whose source-row span exceeds the 2*_BAND window
+    divert the whole call to the XLA gather path (correctness fallback).
     """
     n, p, _ = coords.shape
     v, h, w = images.shape
-    assert p % _TILE == 0, (p, _TILE)
-    gathered = images[image_idx].astype(jnp.float32)  # (N, H, W)
+    coords = coords.astype(jnp.float32)
 
-    out = pl.pallas_call(
-        _onehot_warp_kernel,
-        grid=(p // _TILE,),
-        in_specs=[
-            pl.BlockSpec((n, h, w), lambda j: (0, 0, 0)),
-            pl.BlockSpec((n, _TILE, 2), lambda j: (0, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((n, _TILE), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((n, p), jnp.float32),
-        interpret=interpret,
-    )(gathered, coords.astype(jnp.float32))
-    return out
+    p_pad = -(-p // _TILE) * _TILE
+    if p_pad != p:
+        coords_k = jnp.pad(
+            coords, ((0, 0), (0, p_pad - p), (0, 0)), constant_values=-1.0
+        )
+    else:
+        coords_k = coords
+    t = p_pad // _TILE
+
+    # --- row-window placement + fits check (XLA side, tiny) ---------------
+    y = coords_k[..., 1]
+    x = coords_k[..., 0]
+    y0i = jnp.floor(y).astype(jnp.int32)
+    x0i = jnp.floor(x).astype(jnp.int32)
+    valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
+    y0c = jnp.clip(y0i, 0, h - 2)
+
+    h_pad = max(-(-h // _BAND) * _BAND, 2 * _BAND)
+    n_blocks = h_pad // _BAND
+    lo = jnp.where(valid, y0c, h_pad).reshape(n, t, _TILE).min(axis=-1)
+    hi = jnp.where(valid, y0c + 1, -1).reshape(n, t, _TILE).max(axis=-1)
+    k = jnp.clip(lo // _BAND, 0, n_blocks - 2).astype(jnp.int32)  # (N, T)
+    fits = hi <= (k + 2) * _BAND - 1  # vacuously true for all-invalid tiles
+    all_fit = jnp.all(fits)
+
+    gathered = images[image_idx].astype(jnp.float32)  # (N, H, W)
+    if h_pad != h:
+        gathered = jnp.pad(gathered, ((0, 0), (0, h_pad - h), (0, 0)))
+
+    def banded(_):
+        kernel = functools.partial(_banded_warp_kernel, h, w)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, t),
+            in_specs=[
+                pl.BlockSpec((1, _BAND, w), lambda s, j, kr: (s, kr[s, j], 0)),
+                pl.BlockSpec((1, _BAND, w), lambda s, j, kr: (s, kr[s, j] + 1, 0)),
+                pl.BlockSpec((1, _TILE, 2), lambda s, j, kr: (s, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, _TILE), lambda s, j, kr: (s, j)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, p_pad), jnp.float32),
+            interpret=interpret,
+        )(k, gathered, gathered, coords_k)
+
+    def fallback(_):
+        from .resample import bilinear_sample
+
+        return bilinear_sample(images, image_idx, coords_k)
+
+    out = lax.cond(all_fit, banded, fallback, operand=None)
+    return out[:, :p]

@@ -73,22 +73,17 @@ def _dst_pixel_grid(size: Tuple[int, int], dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
 
-_MXU_VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # half of VMEM for resident views
-
-
 def _pick_sampler(method: str, n_pixels: int, n_slots: int, img_hw):
-    """Resolve the sampling backend: the Pallas one-hot-MXU kernel is ~6x
-    faster than XLA's gather on TPU (0.37 vs 2.15 ms for a 4-slot frame)
-    but needs a TPU backend, a 512-divisible pixel count, and all slot
-    views resident in VMEM (guarded by a budget -- the packed-data path
-    can pass 16+ slots, which must fall back to the gather)."""
+    """Resolve the sampling backend: the Pallas banded one-hot-MXU kernel
+    (ops/pallas_warp.py) is ~an order of magnitude faster than XLA's
+    gather on TPU; its per-grid-step VMEM footprint is independent of the
+    slot count, so any N (incl. the batched multi-recording path) streams
+    through it. Non-TPU backends use the XLA gather."""
     if method == "auto":
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu",)
-        resident = n_slots * img_hw[0] * img_hw[1] * 4
-        fits = resident <= _MXU_VMEM_BUDGET_BYTES
-        method = "mxu" if (on_tpu and n_pixels % 512 == 0 and fits) else "gather"
+        method = "mxu" if on_tpu else "gather"
     if method == "mxu":
         from .pallas_warp import bilinear_sample_mxu
 

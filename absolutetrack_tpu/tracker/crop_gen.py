@@ -58,23 +58,32 @@ def _crop_points(
     wrist: jnp.ndarray,  # (H, 4, 4)
     num_crop_points: int,
 ) -> jnp.ndarray:
-    """(H, num_crop_points, 3) world-space bounding points per hand."""
+    """(H, num_crop_points, 3) world-space bounding points per hand.
+
+    The up-to-three poses (actual / neutral / open,
+    perspective_crop.py:89-133) run through ONE batched FK call of
+    (n_poses * H) hands instead of three sequential FK chains -- same
+    FLOPs, a third of the small-op dispatch tail.
+    """
     assert num_crop_points in (21, 42, 63)
     h = joint_angles.shape[0]
-    hand_idx = jnp.arange(h)
+    n_poses = num_crop_points // 21
 
     poses = [joint_angles]
-    if num_crop_points > 21:
-        neutral = jnp.broadcast_to(neutral_joint_angles(hand), (h, 22))
-        poses.append(neutral)
-    if num_crop_points > 42:
+    if n_poses > 1:
+        poses.append(jnp.broadcast_to(neutral_joint_angles(hand), (h, 22)))
+    if n_poses > 2:
         poses.append(jnp.zeros((h, 22)))
 
-    hand_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (h,) + x.shape), hand)
-    pts = [
-        landmarks_from_hand_pose(hand_b, angles, wrist, hand_idx) for angles in poses
-    ]
-    return jnp.concatenate(pts, axis=-2)
+    angles_b = jnp.concatenate(poses, axis=0)  # (n_poses*H, 22)
+    wrist_b = jnp.tile(wrist, (n_poses, 1, 1))
+    hand_idx_b = jnp.tile(jnp.arange(h), n_poses)
+    hand_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_poses * h,) + x.shape), hand
+    )
+    pts = landmarks_from_hand_pose(hand_b, angles_b, wrist_b, hand_idx_b)
+    # (n_poses*H, 21, 3) -> (H, n_poses*21, 3), pose-major per hand
+    return jnp.moveaxis(pts.reshape(n_poses, h, 21, 3), 0, 1).reshape(h, -1, 3)
 
 
 def _visibility_counts(

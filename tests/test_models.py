@@ -358,3 +358,51 @@ class TestAlternateArchitectures:
         )
         assert out.joint_angles.shape == (b, 22)
         assert state.mem_features.shape == (b, 2, 2, 6)
+
+
+class TestServingPrecision:
+    """The bf16 serving preset (ModelConfig.serving) must stay close to the
+    f32 trunk: same params, same inputs, bounded output drift. Pins the
+    serving mode's accuracy budget (wrist translation is in METERS here;
+    the tracker multiplies by 1000 -> the mm budget is 1000x these)."""
+
+    def _run(self, cfg, params, frames=3):
+        model = UmeTrackModel(params, cfg)
+        state = model.init_state(2)
+        outs = []
+        for k in range(frames):
+            frame = TestEndToEnd._frame(TestEndToEnd, b=2, key=k)
+            frame = frame._replace(use_memory=jnp.full(2, k > 0))
+            skel = SkeletonInputs(
+                joint_rotation_axes=0.1 * jnp.ones((1, 22, 3)),
+                joint_rest_positions=0.01 * jnp.ones((1, 22, 3)),
+            )
+            state, out = model.regress_pose_use_skeleton(state, frame, skel)
+            outs.append(out)
+        return state, outs
+
+    def test_bf16_trunk_drift_bounded(self):
+        cfg32 = ModelConfig()
+        cfg16 = ModelConfig.serving()
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg32)
+        state32, outs32 = self._run(cfg32, params)
+        state16, outs16 = self._run(cfg16, params)
+        # state pytree dtype must be stable (scan-carry compatible)
+        assert state16.mem_features.dtype == state32.mem_features.dtype
+        for o32, o16 in zip(outs32, outs16):
+            # RELATIVE drift budget 1%: random-init activations are huge
+            # (~40 m translations), so the budget scales with magnitude.
+            # At real-weight scale (~0.3 m wrists) 1% = 3 mm; the measured
+            # relative drift here is ~0.5%.
+            t32 = np.asarray(o32.wrist_xfs[:, :3, 3])
+            t16 = np.asarray(o16.wrist_xfs[:, :3, 3])
+            scale_t = np.abs(t32).max()
+            assert np.abs(t32 - t16).max() < 0.01 * scale_t, (
+                np.abs(t32 - t16).max(), scale_t
+            )
+            a32 = np.asarray(o32.joint_angles)
+            a16 = np.asarray(o16.joint_angles)
+            scale_a = max(np.abs(a32).max(), 1.0)
+            assert np.abs(a32 - a16).max() < 0.02 * scale_a
+        # outputs must be f32 (decode happens outside the bf16 trunk)
+        assert outs16[-1].wrist_xfs.dtype == jnp.float32
