@@ -47,7 +47,14 @@ class PackedDataset:
     plays the role of the in-memory preload.
     """
 
-    def __init__(self, folders: Sequence[str], fields: Sequence[str]):
+    def __init__(
+        self,
+        folders: Sequence[str],
+        fields: Sequence[str],
+        preload: bool = False,
+    ):
+        """``preload=True`` loads every .bin payload into RAM up front (the
+        reference's InMemoryTorchBin mode, async_dataset.py:130-150)."""
         self.fields = list(fields)
         self._readers: List[Dict[str, TorchIdx]] = []
         self._cum: List[int] = [0]
@@ -55,6 +62,9 @@ class PackedDataset:
             readers = {
                 f: TorchIdx(os.path.join(folder, f + ".torch.idx")) for f in fields
             }
+            if preload:
+                for r in readers.values():
+                    r.preload()
             lens = {len(r) for r in readers.values()}
             assert len(lens) == 1, f"field length mismatch in {folder}"
             self._readers.append(readers)
@@ -72,12 +82,16 @@ class PackedDataset:
 
 
 class ShardSampler:
-    """Deterministic (rank, world_size) sharding with pad-to-equal.
+    """Deterministic (rank, world_size) sharding with pad-to-equal and
+    io-worker sub-sharding.
 
     Matches the contract of the reference ``Sampler``
-    (async_dataset.py:458-606): indices are split contiguously-strided
-    across ranks; shorter shards wrap around so every rank yields the same
-    count (keeps SPMD collectives in lockstep). Optional seeded shuffling.
+    (async_dataset.py:458-606): indices are padded (or dropped) to a
+    multiple of world_size so every rank yields the same count (keeps SPMD
+    collectives in lockstep), strided across ranks, then strided again
+    across this rank's io workers (async_dataset.py:559-563). Shuffling is
+    (seed + epoch)-keyed like the reference's epoch generator
+    (async_dataset.py:531-535); call ``set_epoch`` between passes.
     """
 
     def __init__(
@@ -88,24 +102,48 @@ class ShardSampler:
         shuffle: bool = False,
         seed: int = 0,
         drop_remainder: bool = False,
+        worker: int = 0,
+        num_workers: int = 1,
     ):
         assert 0 <= rank < world_size
-        idx = np.arange(n)
-        if shuffle:
-            idx = np.random.default_rng(seed).permutation(n)
-        per_rank = (
-            n // world_size if drop_remainder else -(-n // world_size)
-        )
-        shard = idx[rank::world_size]
-        if not drop_remainder and len(shard) < per_rank and len(shard) > 0:
-            shard = np.concatenate([shard, shard[: per_rank - len(shard)]])
-        self.indices = shard[:per_rank]
+        assert 0 <= worker < num_workers
+        self.n = n
+        self.rank = rank
+        self.world_size = world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.worker = worker
+        self.num_workers = num_workers
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    @property
+    def indices(self) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(self.n)
+        r = len(idx) % self.world_size
+        if r:
+            if self.drop_remainder:
+                idx = idx[: len(idx) - r]
+            else:
+                idx = np.concatenate([idx, idx[: self.world_size - r]])
+        shard = idx[self.rank :: self.world_size]
+        return shard[self.worker :: self.num_workers]
 
     def __iter__(self):
         return iter(self.indices.tolist())
 
     def __len__(self):
-        return len(self.indices)
+        per_rank = (
+            self.n // self.world_size
+            if self.drop_remainder
+            else -(-self.n // self.world_size)
+        )
+        return len(range(self.worker, per_rank, self.num_workers))
 
 
 def subsample_indices(n: int, fraction: float, seed: int = 0) -> np.ndarray:

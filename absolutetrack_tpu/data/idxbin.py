@@ -103,10 +103,41 @@ class TorchIdx:
     def element_shape(self, i: int) -> Tuple[int, ...]:
         return self._dims[i]
 
-    def _ensure_mmap(self) -> np.memmap:
+    def _ensure_mmap(self) -> np.ndarray:
         if self._mmap is None:
             self._mmap = np.memmap(self.bin_path, dtype=np.uint8, mode="r")
         return self._mmap
+
+    def preload(self, shared: bool = False) -> "TorchIdx":
+        """Load the whole .bin payload into RAM and serve views from it.
+
+        Equivalent of the reference ``InMemoryTorchBin``
+        (async_dataset.py:130-150): trades memory for zero page-fault
+        latency. ``shared=True`` places the payload in POSIX shared memory
+        so forked io workers map one copy (the reference always does;
+        here it is opt-in -- the default mmap already shares the page
+        cache). Returns self for chaining.
+        """
+        if shared:
+            from multiprocessing import shared_memory
+
+            data = np.fromfile(self.bin_path, dtype=np.uint8)
+            self._shm = shared_memory.SharedMemory(create=True, size=data.nbytes)
+            buf = np.ndarray(data.shape, dtype=np.uint8, buffer=self._shm.buf)
+            buf[:] = data
+            self._mmap = buf
+        else:
+            self._mmap = np.fromfile(self.bin_path, dtype=np.uint8)
+        return self
+
+    def close(self) -> None:
+        """Release a ``preload(shared=True)`` segment (no-op otherwise)."""
+        shm = getattr(self, "_shm", None)
+        if shm is not None:
+            self._mmap = None
+            shm.close()
+            shm.unlink()
+            self._shm = None
 
     def __getitem__(self, i: int):
         if i < 0:

@@ -60,7 +60,9 @@ def _banded_warp_kernel(h, w, kref, lo_ref, hi_ref, coords_ref, out_ref):
     kref   : (N, T) scalar-prefetch row-block indices (also drives the
              lo/hi block index maps).
     lo/hi  : (1, _BAND, W) adjacent source-row blocks = the row window.
-    coords : (1, _TILE, 2); out : (1, _TILE).
+    coords : (1, _TILE, 2); out : (1, 1, 8, _TILE//8) -- the tile is
+             stored as an (8, 64) block because Mosaic requires the last
+             two block dims to be (8k, 128k) or full-array.
     ``h``/``w`` are the UNPADDED source dims (bound via partial).
     """
     s = pl.program_id(0)
@@ -104,7 +106,7 @@ def _banded_warp_kernel(h, w, kref, lo_ref, hi_ref, coords_ref, out_ref):
         + jnp.where(iota_w == x0c[:, None] + 1, wx[:, None], 0.0)
     )
     out = jnp.sum(tmp * colmix, axis=1)
-    out_ref[0, :] = jnp.where(valid, out, 0.0)
+    out_ref[0, 0] = jnp.where(valid, out, 0.0).reshape(8, _TILE // 8)
 
 
 def bilinear_sample_mxu(
@@ -163,14 +165,17 @@ def bilinear_sample_mxu(
                 pl.BlockSpec((1, _BAND, w), lambda s, j, kr: (s, kr[s, j] + 1, 0)),
                 pl.BlockSpec((1, _TILE, 2), lambda s, j, kr: (s, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, _TILE), lambda s, j, kr: (s, j)),
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, _TILE // 8), lambda s, j, kr: (s, j, 0, 0)
+            ),
         )
-        return pl.pallas_call(
+        out4 = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n, p_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
         )(k, gathered, gathered, coords_k)
+        return out4.reshape(n, p_pad)
 
     def fallback(_):
         from .resample import bilinear_sample

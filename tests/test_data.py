@@ -135,3 +135,72 @@ class TestPrefetch:
         it = PrefetchIterator(itertools.count(), max_prefetch=2)
         assert next(it) == 0
         it.close()  # must not hang
+
+
+class TestWorkerSubSharding:
+    def test_workers_partition_rank_shard(self):
+        """rank shard = disjoint union of its io-worker sub-shards, equal
+        sizes (reference async_dataset.py:559-563)."""
+        full = ShardSampler(24, rank=1, world_size=2)
+        parts = [
+            ShardSampler(24, rank=1, world_size=2, worker=w, num_workers=3)
+            for w in range(3)
+        ]
+        assert {len(p) for p in parts} == {4}
+        assert sum(len(p) for p in parts) == len(full)
+        seen = np.concatenate([p.indices for p in parts])
+        np.testing.assert_array_equal(np.sort(seen), np.sort(full.indices))
+
+    def test_epoch_reshuffles_deterministically(self):
+        s = ShardSampler(30, 0, 2, shuffle=True, seed=3)
+        e0 = s.indices.copy()
+        s.set_epoch(1)
+        e1 = s.indices.copy()
+        assert not np.array_equal(e0, e1)
+        s.set_epoch(0)
+        np.testing.assert_array_equal(s.indices, e0)
+
+    def test_all_ranks_workers_cover_dataset(self):
+        got = []
+        for r in range(2):
+            for w in range(2):
+                got.extend(
+                    ShardSampler(11, r, 2, worker=w, num_workers=2).indices.tolist()
+                )
+        assert set(got) == set(range(11))  # padded duplicates allowed
+
+
+class TestPreload:
+    def test_preload_matches_mmap(self, tmp_path):
+        rng = np.random.default_rng(1)
+        elems = [rng.integers(0, 255, (3, 5)).astype(np.uint8) for _ in range(4)]
+        p = str(tmp_path / "x.torch.idx")
+        write_torch_idx(p, elems)
+        mm = TorchIdx(p)
+        pre = TorchIdx(p).preload()
+        for i in range(4):
+            np.testing.assert_array_equal(mm[i], pre[i])
+        np.testing.assert_array_equal(mm.as_array(), pre.as_array())
+
+    def test_preload_shared_memory(self, tmp_path):
+        elems = [np.arange(6, dtype=np.float32) + i for i in range(3)]
+        p = str(tmp_path / "y.torch.idx")
+        write_torch_idx(p, elems)
+        pre = TorchIdx(p).preload(shared=True)
+        try:
+            for i in range(3):
+                np.testing.assert_array_equal(pre[i], elems[i])
+        finally:
+            pre.close()
+
+    def test_packed_dataset_preload(self, tmp_path):
+        d = tmp_path / "rec" / "testing"
+        d.mkdir(parents=True)
+        write_torch_idx(
+            str(d / "mono.torch.idx"),
+            [np.full((2, 2), i, np.uint8) for i in range(3)],
+        )
+        write_torch_idx(str(d / "labels.torch.idx"), [{"i": i} for i in range(3)])
+        ds = PackedDataset([str(d)], ["mono", "labels"], preload=True)
+        assert ds[2]["labels"]["i"] == 2
+        assert ds[2]["mono"][0, 0] == 2

@@ -173,3 +173,30 @@ class TestChunkInvariance:
         np.testing.assert_allclose(
             r1.tracked_keypoints, r4.tracked_keypoints, atol=2e-2
         )
+
+
+class TestReplayVisualizer:
+    def test_headless_dump_with_crop_panels(self, tmp_path):
+        """Drive the replay visualizer app headless with --crops: annotated
+        view frames AND per-(hand,view) warped crop panels must be written
+        (the reference's track_frame_analysis debug windows,
+        lib/tracker/tracker.py:416-604)."""
+        from absolutetrack_tpu.apps import run_replay_visualize as app
+
+        out = str(tmp_path / "frames")
+        app.main([
+            "--labels", LABELS,
+            "--max-frames", "2",
+            "--dump-dir", out,
+            "--no-udp",
+            "--crops",
+        ])
+        files = sorted(os.listdir(out))
+        assert "frame_0000.png" in files and "frame_0001.png" in files
+        assert "crops_0000.png" in files and "crops_0001.png" in files
+        import cv2
+
+        panel = cv2.imread(os.path.join(out, "crops_0000.png"))
+        # 2 hands x 2 views of 96x96 at scale 2
+        assert panel.shape == (2 * 96 * 2, 2 * 96 * 2, 3)
+        assert panel.max() > 30  # crops actually contain image content
