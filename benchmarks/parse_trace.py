@@ -1,0 +1,105 @@
+"""Aggregate device op time from a jax.profiler Chrome trace.
+
+Reads the newest ``*.trace.json.gz`` under ``<log_dir>/plugins/profile/``,
+sums device-lane event durations grouped by op name, and prints the top-N
+plus the total. Divide by --iters for per-step time.
+
+Run: python benchmarks/parse_trace.py --log-dir tmp/trace --iters 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+
+
+def find_trace(log_dir: str) -> str:
+    pats = sorted(
+        glob.glob(os.path.join(log_dir, "plugins", "profile", "*", "*.trace.json.gz")),
+        key=os.path.getmtime,
+    )
+    if not pats:
+        raise SystemExit(f"no trace under {log_dir}")
+    return pats[-1]
+
+
+def load_events(path: str):
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    return data.get("traceEvents", [])
+
+
+GROUP_RULES = [
+    (re.compile(r"^(fusion|loop_fusion|input_fusion|output_fusion)"), "fusion"),
+    (re.compile(r"^custom-call"), "custom-call"),
+    (re.compile(r"^(conv|%conv)"), "conv"),
+    (re.compile(r"^(dot|%dot)"), "dot"),
+    (re.compile(r"^copy"), "copy"),
+    (re.compile(r"^dynamic"), "dynamic-slice/update"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-dir", default="tmp/trace")
+    ap.add_argument("--iters", type=int, default=1, help="steps captured in the trace")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--raw", action="store_true", help="no name grouping")
+    args = ap.parse_args()
+
+    path = find_trace(args.log_dir)
+    events = load_events(path)
+
+    # identify device lanes: process names containing "TPU" (or "/device:")
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {
+        p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()
+    }
+    # XLA op lanes are thread names like "XLA Ops" / "Steps"; keep complete events
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+
+    by_op = collections.Counter()
+    counts = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        lane = tid_names.get((e["pid"], e["tid"]), "")
+        if "XLA Op" not in lane and "Ops" not in lane:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        total += dur
+        if not args.raw:
+            for rx, g in GROUP_RULES:
+                if rx.match(name):
+                    name = g
+                    break
+        by_op[name] += dur
+        counts[name] += 1
+
+    print(f"trace: {path}")
+    print(f"device lanes: {[pid_names[p] for p in dev_pids]}")
+    print(f"total device op time: {total:.3f} ms over {args.iters} iters "
+          f"-> {total / args.iters:.3f} ms/iter")
+    print(f"{'op':44s} {'ms/iter':>10s} {'count':>8s} {'%':>6s}")
+    for name, dur in by_op.most_common(args.top):
+        print(
+            f"{name[:44]:44s} {dur / args.iters:10.4f} {counts[name]:8d} "
+            f"{100 * dur / max(total, 1e-9):6.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

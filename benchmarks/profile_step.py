@@ -16,6 +16,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-dir", default="tmp/trace")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--mode", choices=["seq", "batched"], default="seq")
+    ap.add_argument("--recordings", type=int, default=16)
     args = ap.parse_args(argv)
 
     import jax
@@ -27,7 +29,12 @@ def main(argv=None):
 
     import bench  # repo-root bench provides the step builder
 
-    run_chunk, state, ja, wr, images_seq, chunk = bench.build_tpu_step()
+    if args.mode == "seq":
+        run_chunk, state, ja, wr, images_seq, chunk = bench.build_tpu_step()
+    else:
+        run_chunk, state, ja, wr, images_seq, chunk, _r = bench.build_batched_step(
+            args.recordings
+        )
     s, res = run_chunk(state, ja, wr, images_seq)  # compile outside the trace
     jax.block_until_ready(res)
 

@@ -36,24 +36,76 @@ class TestOneHotMxuWarp:
         # which is the reference's own sampler
         np.testing.assert_allclose(a, b, atol=1.1)
 
-    def test_band_overflow_falls_back(self):
-        # y spans the whole image within single tiles -> the banded window
-        # can't cover it; the call must divert to the gather path and stay
-        # exact (f32, no bf16 quantization -> tight tolerance proves the
-        # fallback branch was taken)
+    def test_band_overflow_runs_covering_kernel(self):
+        # x AND y span the whole image within single tiles -> neither
+        # orientation's banded window can cover it; the call diverts to the
+        # covering kernel (all row windows accumulated) and must still
+        # match the gather path
         rng = np.random.default_rng(2)
-        imgs = jnp.asarray(rng.uniform(0, 256, (2, 480, 160)).astype(np.float32))
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
         idx = jnp.asarray([0, 1], jnp.int32)
         coords = jnp.asarray(
             np.stack(
-                [rng.uniform(0, 158, (2, 512)), rng.uniform(0, 478, (2, 512))], -1
+                [rng.uniform(0, 634, (2, 512)), rng.uniform(0, 478, (2, 512))], -1
             ).astype(np.float32)
         )
-        # sanity: this spread really does exceed the window
+        # sanity: this spread really does exceed the window in both axes
         assert float(coords[..., 1].max() - coords[..., 1].min()) > 2 * _BAND
+        assert float(coords[..., 0].max() - coords[..., 0].min()) > 2 * _BAND
         a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
         b = np.asarray(bilinear_sample(imgs, idx, coords))
-        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_rotated_mapping_routes_to_transposed(self):
+        # a ~90-degree-rotated mapping (the rig's rolled cameras): y sweeps
+        # the full image height within each tile while x stays in a narrow
+        # band. The row-banded kernel can't fit this directly; per-slot
+        # orientation routing samples the transposed source instead and
+        # must match the gather path.
+        rng = np.random.default_rng(6)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 320)).astype(np.float32))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        base_x = rng.uniform(0, 300, (2, 1))
+        x = base_x + np.linspace(0, 18, 1024)[None, :] + rng.uniform(0, 1, (2, 1024))
+        y = rng.uniform(0, 478, (2, 1024))
+        coords = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
+        a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_mixed_orientation_slots(self):
+        # one upright slot + one rotated slot in the same call: routing is
+        # per slot, both must match the gather path
+        rng = np.random.default_rng(7)
+        imgs = jnp.asarray(rng.integers(0, 256, (3, 256, 384)).astype(np.float32))
+        idx = jnp.asarray([0, 2], jnp.int32)
+        upright = _smooth_coords(rng, 1, 512, 256, 384, row_span=25.0)
+        bx = rng.uniform(0, 360, (1, 1))
+        x = bx + np.linspace(0, 12, 512)[None] + rng.uniform(0, 1, (1, 512))
+        y = rng.uniform(0, 254, (1, 512))
+        rotated = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
+        coords = jnp.concatenate([upright, rotated], axis=0)
+        a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_covering_window_straddle(self):
+        # pixels whose two source rows land in DIFFERENT covering windows
+        # (y0 = 255 -> rows 255 and 256 straddle the 2*_BAND window edge):
+        # the accumulated passes must reassemble the exact lerp
+        rng = np.random.default_rng(8)
+        imgs = jnp.asarray(rng.integers(0, 256, (1, 384, 384)).astype(np.float32))
+        # force covering: one far-away pixel blows up the span in both axes
+        y = np.full((1, 512), 255.0) + rng.uniform(0.1, 0.9, (1, 512))
+        x = rng.uniform(0, 382, (1, 512))
+        y[0, -1] = 4.0
+        x[0, -1] = 4.0
+        coords = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, jnp.zeros(1, jnp.int32), coords, interpret=True)
+        )
+        b = np.asarray(bilinear_sample(imgs, jnp.zeros(1, jnp.int32), coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
 
     def test_non_multiple_pixel_count_pads(self):
         rng = np.random.default_rng(3)
