@@ -90,17 +90,27 @@ def track_recording(
     calibrate_scale: bool = False,
     max_frames: Optional[int] = None,
     chunk_size: int = 8,
+    pipelined: bool = True,
 ) -> SequenceResult:
     """Track a full recording with GT-pose-driven crops.
 
     Frames run through the tracker in chunks of ``chunk_size`` inside one
-    ``lax.scan`` dispatch (sequential semantics preserved -- the temporal
-    state carries across frames and chunks). One dispatch per chunk
-    amortizes host->device latency, which dominates when the accelerator is
-    reached over a network tunnel. Produces FK landmarks for tracked and GT
-    poses plus validity, matching the reference protocol
+    device dispatch (sequential semantics preserved -- the temporal state
+    carries across frames and chunks). One dispatch per chunk amortizes
+    host->device latency, which dominates when the accelerator is reached
+    over a network tunnel. Produces FK landmarks for tracked and GT poses
+    plus validity, matching the reference protocol
     (run_eval_known_skeleton.py:48-106).
+
+    ``pipelined=True`` (default) batches the frame-independent trunk
+    (crop-gen + warp + backbone + fusion) over the whole chunk and scans
+    only the ConvRNN/regressor tail (tracker.track_chunk_eval) -- valid
+    because eval crops come from per-frame GT poses, not tracked results.
+    ``pipelined=False`` scans the full per-frame step (the live-mode
+    dataflow); both paths agree numerically (tests/test_pipelined.py).
     """
+    from ..tracker import track_chunk_eval
+
     tracker = HandTracker(model, opts)
     hand_mm = hand_model_mm if hand_model_mm is not None else labels.hand_model
 
@@ -119,13 +129,25 @@ def track_recording(
             min_num_crops=min_num_crops, src_kind=labels.camera_kind,
         )
 
-    @jax.jit
-    def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
-        def body(state, xs):
-            state, res = frame_step(state, *xs)
-            return state, res
+    if pipelined:
 
-        return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
+        @jax.jit
+        def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+            return track_chunk_eval(
+                model, opts, state, images_c, base_cams, cam_c, camera_angles,
+                hand_mm, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
+                src_kind=labels.camera_kind, calibrate_scale=calibrate_scale,
+            )
+
+    else:
+
+        @jax.jit
+        def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+            def body(state, xs):
+                state, res = frame_step(state, *xs)
+                return state, res
+
+            return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     t_total = len(labels) if max_frames is None else min(max_frames, len(labels))
     tracked = np.zeros((NUM_HANDS, t_total, NUM_LANDMARKS, 3), np.float32)
@@ -220,6 +242,7 @@ def track_recordings_batched(
     calibrate_scale: bool = False,
     max_frames: Optional[int] = None,
     chunk_size: int = 8,
+    pipelined: bool = True,
 ) -> list:
     """Track R recordings in lockstep on one chip -> list of SequenceResult.
 
@@ -265,13 +288,26 @@ def track_recordings_batched(
             min_num_crops=min_num_crops, src_kind=src_kind,
         )
 
-    @jax.jit
-    def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
-        def body(state, xs):
-            state, res = frame_step(state, *xs)
-            return state, res
+    if pipelined:
+        from ..tracker.pipelined import track_chunk_eval_batched
 
-        return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
+        @jax.jit
+        def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+            return track_chunk_eval_batched(
+                model, opts, state, images_c, base_cams, cam_c, camera_angles,
+                hand_stack, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
+                src_kind=src_kind, calibrate_scale=calibrate_scale,
+            )
+
+    else:
+
+        @jax.jit
+        def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+            def body(state, xs):
+                state, res = frame_step(state, *xs)
+                return state, res
+
+            return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     lengths = [
         len(lab) if max_frames is None else min(max_frames, len(lab))

@@ -126,6 +126,40 @@ class UmeTrackModel:
             self.cfg,
         )
 
+    def encode_skeleton(self, skeleton: SkeletonInputs, batch: int) -> jnp.ndarray:
+        """Skeleton-encoder features broadcast to ``batch`` samples."""
+        skel = skeleton_encoder_apply(
+            self.params["skeleton_encoder"],
+            skeleton.joint_rotation_axes,
+            skeleton.joint_rest_positions,
+            self.cfg,
+        )
+        if skel.shape[0] == 1 and batch > 1:
+            skel = jnp.broadcast_to(skel, (batch,) + skel.shape[1:])
+        return skel
+
+    def regress_from_features(
+        self,
+        state: TemporalState,
+        frame: FrameInputs,
+        img_features: jnp.ndarray,
+        skel_features: Optional[jnp.ndarray] = None,
+    ) -> Tuple[TemporalState, RegressorOutput]:
+        """Temporal fusion + regression head given precomputed trunk
+        features -- the sequential tail of a step. Splitting here lets eval
+        pipelines batch ``extract_features`` over whole frame chunks (the
+        convs see batch F*B) and scan only this part over time."""
+        state, tfeat = self.temporal_features(state, frame, img_features)
+        if skel_features is not None:
+            x = jnp.concatenate([tfeat, skel_features.astype(tfeat.dtype)], axis=-1)
+            out = regress_poses(self.params["regressor_k"], x, self.cfg, False)
+        else:
+            out = regress_poses(self.params["regressor_u"], tfeat, self.cfg, True)
+        wrist = _recover_wrist_in_world(
+            frame.hand_idx, frame.extrinsics[:, 0], out.wrist_xfs
+        )
+        return state, out._replace(wrist_xfs=wrist)
+
     # -- branches ---------------------------------------------------------
 
     def regress_pose_use_skeleton(
@@ -136,23 +170,8 @@ class UmeTrackModel:
     ) -> Tuple[TemporalState, RegressorOutput]:
         """Known-skeleton branch (reference umetrack_model.py:188-219)."""
         feats = self.extract_features(frame)
-        state, tfeat = self.temporal_features(state, frame, feats)
-
-        skel = skeleton_encoder_apply(
-            self.params["skeleton_encoder"],
-            skeleton.joint_rotation_axes,
-            skeleton.joint_rest_positions,
-            self.cfg,
-        )
-        if skel.shape[0] == 1 and tfeat.shape[0] > 1:
-            skel = jnp.broadcast_to(skel, (tfeat.shape[0],) + skel.shape[1:])
-        x = jnp.concatenate([tfeat, skel.astype(tfeat.dtype)], axis=-1)
-
-        out = regress_poses(self.params["regressor_k"], x, self.cfg, False)
-        wrist = _recover_wrist_in_world(
-            frame.hand_idx, frame.extrinsics[:, 0], out.wrist_xfs
-        )
-        return state, out._replace(wrist_xfs=wrist)
+        skel = self.encode_skeleton(skeleton, feats.shape[0])
+        return self.regress_from_features(state, frame, feats, skel)
 
     def regress_pose_pred_skel_scale(
         self, state: TemporalState, frame: FrameInputs
@@ -160,12 +179,7 @@ class UmeTrackModel:
         """Unknown-skeleton branch; requires all-multiview samples
         (reference umetrack_model.py:221-242)."""
         feats = self.extract_features(frame)
-        state, tfeat = self.temporal_features(state, frame, feats)
-        out = regress_poses(self.params["regressor_u"], tfeat, self.cfg, True)
-        wrist = _recover_wrist_in_world(
-            frame.hand_idx, frame.extrinsics[:, 0], out.wrist_xfs
-        )
-        return state, out._replace(wrist_xfs=wrist)
+        return self.regress_from_features(state, frame, feats, None)
 
     def init_state(self, batch: int) -> TemporalState:
         return init_temporal_state(batch, self.cfg)

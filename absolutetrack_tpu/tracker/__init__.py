@@ -2,6 +2,7 @@
 
 from .batched import BatchedTracker
 from .crop_gen import CropSlots, gen_crop_slots
+from .pipelined import track_chunk_eval
 from .tracker import HandTracker, TrackerConfig, TrackerState, TrackFrameResult
 
 __all__ = [
@@ -10,6 +11,7 @@ __all__ = [
     "HandTracker",
     "TrackFrameResult",
     "TrackerConfig",
+    "track_chunk_eval",
     "TrackerState",
     "gen_crop_slots",
 ]

@@ -110,26 +110,31 @@ def bench_tpu(iters: int = 20) -> float:
 
 
 def build_batched_step(num_recordings: int = 16, chunk: int = 8):
-    """R recordings tracked in lockstep: the TPU analog of the reference's
+    """R recordings evaluated in lockstep: the TPU analog of the reference's
     Pool(8).map_async over sequences (run_eval_known_skeleton.py:116-119).
-    Aggregate throughput = R frames advanced per step."""
+    Uses the pipelined eval dataflow (tracker/pipelined.py): crops come
+    from per-frame GT poses (the eval protocol, run_eval_known_skeleton.py
+    :69-75), so the trunk batches over frames x recordings and only the
+    ConvRNN/regressor tail scans. Aggregate throughput = R frames advanced
+    per step."""
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from absolutetrack_tpu.utils.runtime import enable_compilation_cache, on_cpu
     enable_compilation_cache()
 
     from absolutetrack_tpu.models import ModelConfig, UmeTrackModel, init_umetrack_params
     from absolutetrack_tpu.tracker import BatchedTracker, TrackerConfig
+    from absolutetrack_tpu.tracker.pipelined import track_chunk_eval_batched
     from absolutetrack_tpu.tracker.video_data import load_labels
 
     labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
     cfg = ModelConfig()
+    opts = TrackerConfig()
     with on_cpu():
         params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
     model = UmeTrackModel(params, cfg)
-    tracker = BatchedTracker(model, TrackerConfig())
+    tracker = BatchedTracker(model, opts)
 
     r = num_recordings
     v = labels.num_views
@@ -137,15 +142,16 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8):
     # extrinsics and poses per recording, like a real multi-sequence eval
     offs = np.linspace(40, 300, r).astype(int)
     cams = jax.tree.map(lambda x: jnp.broadcast_to(x, (r,) + x.shape), labels.cameras)
-    cam_t = jnp.asarray(labels.camera_to_world[offs])  # (R, V, 4, 4)
-    cams = cams._replace(T_world_from_eye=cam_t)
     angles = jnp.broadcast_to(jnp.asarray(labels.camera_angles), (r, v))
     hand = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (r,) + x.shape), labels.hand_model
     )
-    ja = jnp.asarray(labels.joint_angles[offs])  # (R, 2, 22)
-    wr = jnp.asarray(labels.wrist_transforms[offs])
-    conf = jnp.asarray(labels.hand_confidences[offs])
+    # per-frame GT pose/extrinsic sequences, (chunk, R, ...)
+    tidx = offs[None, :] + np.arange(chunk)[:, None]  # (chunk, R)
+    cam_seq = jnp.asarray(labels.camera_to_world[tidx])
+    ja_seq = jnp.asarray(labels.joint_angles[tidx])
+    wr_seq = jnp.asarray(labels.wrist_transforms[tidx])
+    conf_seq = jnp.asarray(labels.hand_confidences[tidx])
 
     rng = np.random.default_rng(0)
     images_seq = jnp.asarray(
@@ -154,17 +160,16 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8):
 
     @jax.jit
     def run_chunk(state, ja0, wr0, images_seq):
-        def body(carry, images):
-            s, ja_t, wr_t = carry
-            s, res = tracker.track_frames(s, images, cams, angles, hand, ja_t, wr_t, conf)
-            ja_n = jnp.where(res.hand_valid[..., None], res.joint_angles, ja_t)
-            wr_n = jnp.where(res.hand_valid[..., None, None], res.wrist_xfs, wr_t)
-            return (s, ja_n, wr_n), res.wrist_xfs
-
-        (state, _, _), wrists = lax.scan(body, (state, ja0, wr0), images_seq)
-        return state, wrists
+        del ja0, wr0  # eval crops come from the per-frame GT sequences
+        state, res = track_chunk_eval_batched(
+            model, opts, state, images_seq, cams, cam_seq, angles, hand,
+            ja_seq, wr_seq, conf_seq,
+        )
+        return state, res.wrist_xfs
 
     state = tracker.init_state(r)
+    ja = ja_seq[0]
+    wr = wr_seq[0]
     return run_chunk, state, ja, wr, images_seq, chunk, r
 
 

@@ -166,9 +166,17 @@ class TestSingleViewPackedPath:
 
 class TestChunkInvariance:
     def test_chunk_size_does_not_change_results(self, model, labels, frames):
-        """Chunked scan must be bit-equivalent to per-frame stepping."""
-        r1 = eval_lib.track_recording(model, labels, frames, max_frames=5, chunk_size=1)
-        r4 = eval_lib.track_recording(model, labels, frames, max_frames=5, chunk_size=4)
+        """Chunked scan must be bit-equivalent to per-frame stepping.
+
+        pipelined=False: the pipelined dataflow's chunk invariance (conv
+        batch grows with the chunk, reordering reductions) is pinned with
+        well-conditioned heads in tests/test_pipelined.py."""
+        r1 = eval_lib.track_recording(
+            model, labels, frames, max_frames=5, chunk_size=1, pipelined=False
+        )
+        r4 = eval_lib.track_recording(
+            model, labels, frames, max_frames=5, chunk_size=4, pipelined=False
+        )
         np.testing.assert_array_equal(r1.valid_tracking, r4.valid_tracking)
         np.testing.assert_allclose(
             r1.tracked_keypoints, r4.tracked_keypoints, atol=2e-2
