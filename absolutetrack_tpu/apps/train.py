@@ -66,6 +66,16 @@ def windows_to_batch(seqs) -> tuple[SequenceBatch, HandModel]:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="tmp/torch_data")
+    ap.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="train on the synthetic-blob vision task (no packed data "
+        "needed); prints held-out tracked MPJPE before/after",
+    )
+    ap.add_argument("--window", type=int, default=2, help="synthetic window T")
+    ap.add_argument("--input-size", type=int, default=32,
+                    help="synthetic crop size (32 = tiny recipe, 96 = full)")
+    ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -79,13 +89,20 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    folders = find_dataset_folders(args.data_root, ["mono", "labels"])
-    if not folders:
-        raise SystemExit(f"no packed data under {args.data_root}")
-    ds = PackedDataset(folders, ["mono", "labels"])
-    print(f"{len(ds)} windows from {len(folders)} folders")
+    from ..utils.runtime import enable_compilation_cache
 
-    cfg = ModelConfig()
+    enable_compilation_cache()
+
+    if args.synthetic:
+        cfg = ModelConfig(input_size=(args.input_size, args.input_size))
+        ds = None
+    else:
+        folders = find_dataset_folders(args.data_root, ["mono", "labels"])
+        if not folders:
+            raise SystemExit(f"no packed data under {args.data_root}")
+        ds = PackedDataset(folders, ["mono", "labels"])
+        print(f"{len(ds)} windows from {len(folders)} folders")
+        cfg = ModelConfig()
     if args.checkpoint:
         params = load_any(args.checkpoint, cfg)
     else:
@@ -102,19 +119,43 @@ def main(argv=None):
         state = load_train_state(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    def batches():
-        rng = np.random.default_rng(args.seed)
-        while True:
-            idx = rng.integers(0, len(ds), args.batch)
-            seqs = [
-                preprocess_packed(np.asarray(ds[int(i)]["mono"]), ds[int(i)]["labels"])
-                for i in idx
-            ]
-            yield windows_to_batch(seqs)
+    if args.synthetic:
+        from ..training import make_eval_step
+        from ..training.synthetic import learnable_windows
+
+        def batches():
+            i = args.seed
+            while True:
+                yield learnable_windows(args.batch, t=args.window, cfg=cfg, seed=i)
+                i += 1
+    else:
+        def batches():
+            rng = np.random.default_rng(args.seed)
+            while True:
+                idx = rng.integers(0, len(ds), args.batch)
+                seqs = [
+                    preprocess_packed(
+                        np.asarray(ds[int(i)]["mono"]), ds[int(i)]["labels"]
+                    )
+                    for i in idx
+                ]
+                yield windows_to_batch(seqs)
 
     with mesh:
         sh = batch_shardings(mesh)
         step = make_train_step(mesh, cfg, opt, branch=args.branch)
+        if args.synthetic:
+            ev = make_eval_step(mesh, cfg, branch=args.branch)
+            held_batch, held_hand = learnable_windows(
+                max(args.batch, 16), t=args.window, cfg=cfg, seed=999_999
+            )
+
+            def heldout_mpjpe_mm(params):
+                out = ev(params, held_batch, held_hand)
+                return float(out["err_sum_m"]) / float(out["err_count"]) * 1e3
+
+            e0 = heldout_mpjpe_mm(state.params)
+            print(f"held-out tracked MPJPE at init: {e0:.1f} mm")
         it = PrefetchIterator(batches(), max_prefetch=2)
         t0 = time.time()
         for i in range(args.steps):
@@ -127,12 +168,23 @@ def main(argv=None):
             if i % 10 == 0 or i == args.steps - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
+                extra = ""
+                if args.synthetic and (
+                    i % args.eval_every == 0 or i == args.steps - 1
+                ):
+                    extra = f" heldout={heldout_mpjpe_mm(state.params):.1f}mm"
                 print(f"step {i}: loss={m['total']:.4f} "
-                      f"lm={m['landmark_l2_m'] * 1e3:.1f}mm ({dt:.1f}s)")
+                      f"lm={m['landmark_l2_m'] * 1e3:.1f}mm{extra} ({dt:.1f}s)")
             if args.save and (i + 1) % args.save_every == 0:
                 save_params(args.save, state.params)
                 save_train_state(args.save + ".train", state)
         it.close()
+        if args.synthetic:
+            e1 = heldout_mpjpe_mm(state.params)
+            print(
+                f"held-out tracked MPJPE: {e0:.1f} mm (init) -> {e1:.1f} mm "
+                f"({e0 / max(e1, 1e-9):.1f}x better)"
+            )
     if args.save:
         save_params(args.save, state.params)
         save_train_state(args.save + ".train", state)

@@ -101,6 +101,67 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["total"]))
         assert "skel_scale_logmse" in metrics
 
+    def test_training_improves_heldout_mpjpe(self, tmp_path):
+        """Train from random init on the synthetic-blob vision task and
+        require held-out tracked MPJPE to improve materially (not just the
+        loss to decrease), plus a mid-run checkpoint/resume that reproduces
+        the exact loss curve.
+
+        The reference has no training subsystem to compare against; the
+        oracle is the task itself -- blob images deterministically encode
+        the FK landmarks, so a learning pipeline must recover pose.
+        """
+        from absolutetrack_tpu.models.checkpoint import (
+            load_train_state,
+            save_train_state,
+        )
+        from absolutetrack_tpu.training.synthetic import learnable_windows
+
+        mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+        params = init_umetrack_params(jax.random.PRNGKey(0), CFG)
+        opt = make_optimizer(lr=3e-3)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        held_batch, held_hand = learnable_windows(b=8, t=2, cfg=CFG, seed=999)
+
+        def mpjpe_mm(ev, params):
+            out = ev(params, held_batch, held_hand)
+            return float(out["err_sum_m"]) / float(out["err_count"]) * 1e3
+
+        ckpt = str(tmp_path / "mid.train")
+        with mesh:
+            step = make_train_step(mesh, CFG, opt, branch="known")
+            ev = make_eval_step(mesh, CFG, branch="known")
+            e0 = mpjpe_mm(ev, state.params)
+            losses = []
+            for i in range(12):
+                batch, hand = learnable_windows(b=8, t=2, cfg=CFG, seed=i)
+                if i == 9:
+                    save_train_state(ckpt, state)
+                state, metrics = step(state, batch, hand)
+                losses.append(float(metrics["total"]))
+            e1 = mpjpe_mm(ev, state.params)
+
+            # resume from the mid-run checkpoint: identical curve tail
+            template = TrainState(
+                init_umetrack_params(jax.random.PRNGKey(1), CFG),
+                opt.init(params),
+                jnp.zeros((), jnp.int32),
+            )
+            resumed = load_train_state(ckpt, template)
+            assert int(resumed.step) == 9
+            relosses = []
+            for i in range(9, 12):
+                batch, hand = learnable_windows(b=8, t=2, cfg=CFG, seed=i)
+                resumed, metrics = step(resumed, batch, hand)
+                relosses.append(float(metrics["total"]))
+            e1_resumed = mpjpe_mm(ev, resumed.params)
+
+        assert np.isfinite(losses).all()
+        # material improvement: >=3x reduction of held-out tracked MPJPE
+        assert e1 < e0 / 3.0, (e0, e1)
+        np.testing.assert_allclose(relosses, losses[9:], rtol=1e-5)
+        np.testing.assert_allclose(e1_resumed, e1, rtol=1e-5)
+
     def test_masked_samples_do_not_contribute(self):
         """Loss with half the batch masked == loss of the unmasked half."""
         from absolutetrack_tpu.training.train import loss_fn
