@@ -243,8 +243,16 @@ def track_recordings_batched(
     max_frames: Optional[int] = None,
     chunk_size: int = 8,
     pipelined: bool = True,
+    mesh=None,
 ) -> list:
     """Track R recordings in lockstep on one chip -> list of SequenceResult.
+
+    With ``mesh`` (a Mesh with a 'data' axis), recordings are sharded over
+    the data axis: each device tracks R/n_data recordings; the
+    recording-major pipelined layout partitions with no cross-device
+    communication (SPMD eval over chips/hosts -- the scaling story the
+    reference's Pool(8) cannot reach past one node). R must divide by the
+    data-axis size.
 
     TPU-native analog of the reference's ``Pool(8).map_async`` over
     sequences (run_eval_known_skeleton.py:116-119): one jitted step advances
@@ -275,6 +283,31 @@ def track_recordings_batched(
     hand_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *hands_mm)
     base_cams = jax.tree.map(lambda *xs: jnp.stack(xs), *[l.cameras for l in labels_list])
     camera_angles = jnp.stack([jnp.asarray(l.camera_angles) for l in labels_list])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        assert r % n_data == 0, (r, n_data)
+
+        def _shard0(x):  # recording axis leading
+            x = jnp.asarray(x)
+            return jax.device_put(
+                x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+            )
+
+        def _shard1(x):  # (chunk, R, ...) time-major chunk arrays
+            x = jnp.asarray(x)
+            return jax.device_put(
+                x,
+                NamedSharding(mesh, P(*((None, "data") + (None,) * (x.ndim - 2)))),
+            )
+
+        hand_stack = jax.tree.map(_shard0, hand_stack)
+        base_cams = jax.tree.map(_shard0, base_cams)
+        camera_angles = _shard0(camera_angles)
+    else:
+        _shard1 = jnp.asarray
 
     def frame_step(state, images, cam_t, ja, wr, conf):
         cams = base_cams._replace(T_world_from_eye=cam_t)
@@ -340,6 +373,10 @@ def track_recordings_batched(
     )
 
     state = tracker.init_state(r)
+    if mesh is not None:
+        # state leaves lead with R*2 (temporal) / R (validity): both shard
+        # cleanly on 'data' since R divides by the axis size
+        state = jax.tree.map(_shard0, state)
     frame_iters = [iter(frames) for _, frames in recordings]
     last_frames = [None] * r
     zeros_like_first = None
@@ -391,11 +428,11 @@ def track_recordings_batched(
 
         state, res = run_chunk(
             state,
-            jnp.asarray(np.stack(imgs)),
-            jnp.asarray(np.stack(cams_c)),
-            jnp.asarray(np.stack(ja_c)),
-            jnp.asarray(np.stack(wr_c)),
-            jnp.asarray(np.stack(conf_c)),
+            _shard1(np.stack(imgs)),
+            _shard1(np.stack(cams_c)),
+            _shard1(np.stack(ja_c)),
+            _shard1(np.stack(wr_c)),
+            _shard1(np.stack(conf_c)),
         )
 
         sl = slice(t, t + n)

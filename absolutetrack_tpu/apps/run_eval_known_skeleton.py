@@ -53,6 +53,11 @@ def main(argv=None):
         "--batch-recordings", type=int, default=1,
         help="track N sequences in lockstep per dispatch (fills the chip)",
     )
+    ap.add_argument(
+        "--mesh-data", type=int, default=1,
+        help="shard the lockstep recordings over a 'data' mesh of this many "
+        "devices (SPMD eval; batch-recordings must divide by it)",
+    )
     args = ap.parse_args(argv)
 
     label_files = find_label_files(args.input_dir, args.test_only)
@@ -106,8 +111,14 @@ def main(argv=None):
             for lf, _rel, _out in group:
                 labels = load_labels(lf)
                 recs.append((labels, eval_lib.frames_for(labels, lf[:-5] + ".mp4")))
+            mesh = None
+            if args.mesh_data > 1:
+                from absolutetrack_tpu.parallel import make_mesh
+
+                mesh = make_mesh(data=args.mesh_data, model=1)
             results = eval_lib.track_recordings_batched(
-                model, recs, min_num_crops=1, max_frames=args.max_frames
+                model, recs, min_num_crops=1, max_frames=args.max_frames,
+                mesh=mesh,
             )
             for (lf, rel, out_path), res in zip(group, results):
                 save_result(lf, rel, out_path, res)

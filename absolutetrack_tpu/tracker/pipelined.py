@@ -183,23 +183,23 @@ def track_chunk_eval_batched(
     f, r, v = images_seq.shape[0], images_seq.shape[1], images_seq.shape[2]
     bt = BatchedTracker(model, opts)
 
-    def flat(x):  # (F, R, ...) -> (F*R, ...)
-        return x.reshape((f * r,) + x.shape[2:])
+    # RECORDING-major flattening: flat index = rec * F + frame. Under a
+    # ('data',) mesh with recordings sharded on R, each device's shard is
+    # then a contiguous block of the flat phase-A batch, so the whole
+    # chunk partitions with no cross-device communication (the scan tail
+    # is per-sample too; only the caller's metric reductions communicate).
+    def flat(x):  # (F, R, ...) -> (R*F, ...), recording-major
+        return jnp.moveaxis(x, 0, 1).reshape((r * f,) + x.shape[2:])
 
-    cams_fr = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (f,) + x.shape).reshape(
-            (f * r,) + x.shape[1:]
-        ),
-        cameras,
-    )
+    def rep(x):  # (R, ...) -> (R*F, ...), recording-major repeat
+        return jnp.broadcast_to(x[:, None], (r, f) + x.shape[1:]).reshape(
+            (r * f,) + x.shape[1:]
+        )
+
+    cams_fr = jax.tree.map(rep, cameras)
     cams_fr = cams_fr._replace(T_world_from_eye=flat(camera_to_world_seq))
-    angles_fr = jnp.broadcast_to(camera_angles, (f, r, v)).reshape(f * r, v)
-    hand_fr = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (f,) + x.shape).reshape(
-            (f * r,) + x.shape[1:]
-        ),
-        hand_models_mm,
-    )
+    angles_fr = rep(camera_angles)
+    hand_fr = jax.tree.map(rep, hand_models_mm)
     slots = bt._gen_slots(
         cams_fr,
         angles_fr,
@@ -211,19 +211,22 @@ def track_chunk_eval_batched(
         src_kind,
     )
     dummy = TrackerState(
-        temporal=model.init_state(f * r * NUM_HANDS),
-        valid_history=jnp.zeros((f * r, NUM_HANDS), bool),
+        temporal=model.init_state(r * f * NUM_HANDS),
+        valid_history=jnp.zeros((r * f, NUM_HANDS), bool),
     )
     frame_all = bt.make_inputs(dummy, flat(images_seq), cams_fr, slots, src_kind)
-    feats_all = model.extract_features(frame_all)  # (F*R*2, h, w, C)
+    feats_all = model.extract_features(frame_all)  # (R*F*2, h, w, C)
 
     skel_all: Optional[jnp.ndarray] = None
     if not calibrate_scale:
         skel_in = bt._skeleton_inputs(hand_models_mm)  # (R*2, ...)
         skel_all = model.encode_skeleton(skel_in, r * NUM_HANDS)
 
-    def per_frame(x):
-        return x.reshape((f, r * NUM_HANDS) + x.shape[1:])
+    def per_frame(x):  # (R*F*2, ...) -> (F, R*2, ...), time-major for scan
+        x = x.reshape((r, f, NUM_HANDS) + x.shape[1:])
+        return jnp.moveaxis(x, 1, 0).reshape(
+            (f, r * NUM_HANDS) + x.shape[3:]
+        )
 
     frame_seq = jax.tree.map(per_frame, frame_all)
     frame_seq = frame_seq._replace(
@@ -231,7 +234,7 @@ def track_chunk_eval_batched(
         intrinsics=jnp.zeros((f, r * NUM_HANDS, 0), feats_all.dtype),
     )
     feats_seq = per_frame(feats_all)
-    hand_valid_seq = slots.hand_valid.reshape(f, r * NUM_HANDS)
+    hand_valid_seq = per_frame(slots.hand_valid.reshape(-1))
 
     def body(carry, xs):
         tstate, valid_history = carry

@@ -169,3 +169,64 @@ class TestModelMeshEquivalence:
                     b / scale, a / scale, atol=2e-3,
                     err_msg=f"layout {layout}, leaf {jax.tree_util.keystr(ka)}",
                 )
+
+
+class TestShardedBatchedEval:
+    def test_recordings_shard_over_data_axis(self):
+        """track_recordings_batched(mesh=...) shards recordings over the
+        'data' axis; results must match the unsharded run. Heads/temporal
+        are damped as in tests/test_pipelined.py so the comparison is not
+        swamped by random-init noise amplification."""
+        import dataclasses
+
+        from absolutetrack_tpu.apps import eval_lib
+        from absolutetrack_tpu.models import (
+            ModelConfig,
+            UmeTrackModel,
+            init_umetrack_params,
+        )
+        from absolutetrack_tpu.tracker import TrackerConfig
+        from absolutetrack_tpu.tracker.video_data import (
+            SyntheticFrameSource,
+            load_labels,
+        )
+
+        cfg = ModelConfig(input_size=(32, 32))
+        opts = TrackerConfig(crop_size=(32, 32))
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+        for reg in ("regressor_k", "regressor_u"):
+            params[reg]["out"] = jax.tree.map(lambda x: x * 0.02, params[reg]["out"])
+        params["temporal"] = jax.tree.map(lambda x: x * 0.1, params["temporal"])
+        model = UmeTrackModel(params, cfg)
+
+        labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
+        lm = eval_lib.gt_landmark_sequence(labels)
+
+        def rec(start, length):
+            sl = slice(start, start + length)
+            lab = dataclasses.replace(
+                labels,
+                camera_to_world=labels.camera_to_world[sl],
+                joint_angles=labels.joint_angles[sl],
+                wrist_transforms=labels.wrist_transforms[sl],
+                hand_confidences=labels.hand_confidences[sl],
+            )
+            return lab, list(SyntheticFrameSource(lab, lm[sl]))
+
+        recordings = [rec(o, 3) for o in (100, 140, 60, 200)]
+        mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        sharded = eval_lib.track_recordings_batched(
+            model, [(lab, iter(fr)) for lab, fr in recordings],
+            opts=opts, mesh=mesh, chunk_size=3,
+        )
+        plain = eval_lib.track_recordings_batched(
+            model, [(lab, iter(fr)) for lab, fr in recordings],
+            opts=opts, chunk_size=3,
+        )
+        for rs, rp in zip(sharded, plain):
+            np.testing.assert_array_equal(rs.valid_tracking, rp.valid_tracking)
+            m = rp.valid_tracking
+            np.testing.assert_allclose(
+                rs.tracked_keypoints[m], rp.tracked_keypoints[m],
+                rtol=1e-4, atol=1e-2,
+            )
