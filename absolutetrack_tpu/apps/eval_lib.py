@@ -129,14 +129,17 @@ def track_recording(
             min_num_crops=min_num_crops, src_kind=labels.camera_kind,
         )
 
+    # images transfer in their source dtype (uint8 video frames = 4x less
+    # host->device traffic); cast to f32 on device
     if pipelined:
 
         @jax.jit
         def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
             return track_chunk_eval(
-                model, opts, state, images_c, base_cams, cam_c, camera_angles,
-                hand_mm, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
-                src_kind=labels.camera_kind, calibrate_scale=calibrate_scale,
+                model, opts, state, images_c.astype(jnp.float32), base_cams,
+                cam_c, camera_angles, hand_mm, ja_c, wr_c, conf_c,
+                min_num_crops=min_num_crops, src_kind=labels.camera_kind,
+                calibrate_scale=calibrate_scale,
             )
 
     else:
@@ -147,6 +150,7 @@ def track_recording(
                 state, res = frame_step(state, *xs)
                 return state, res
 
+            images_c = images_c.astype(jnp.float32)
             return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     t_total = len(labels) if max_frames is None else min(max_frames, len(labels))
@@ -176,6 +180,10 @@ def track_recording(
 
     state = tracker.init_state()
     frame_iter = iter(frames)
+    # async streaming: device results are pulled only after the last chunk
+    # is dispatched, so chunk t+1's host assembly and transfer overlap the
+    # device computing chunk t (per-chunk result leaves are tiny)
+    pending = []  # (t_start, n, res, tracked_lm_dev, gt_lm_dev)
     t = 0
     while t < t_total:
         n = min(chunk_size, t_total - t)
@@ -194,34 +202,35 @@ def track_recording(
         def pad0(a):
             return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) if pad else a
 
-        images_c = pad0(np.asarray(chunk_frames, np.float32))
+        images_c = pad0(np.asarray(chunk_frames))
         cam_c = pad0(labels.camera_to_world[sl])
-        ja_c = pad0(labels.joint_angles[sl])
-        wr_c = pad0(labels.wrist_transforms[sl])
+        ja_c = jnp.asarray(pad0(labels.joint_angles[sl]))
+        wr_c = jnp.asarray(pad0(labels.wrist_transforms[sl]))
         conf_c = pad0(labels.hand_confidences[sl])
 
         state, res = run_chunk(
             state,
             jnp.asarray(images_c),
             jnp.asarray(cam_c),
-            jnp.asarray(ja_c),
-            jnp.asarray(wr_c),
+            ja_c,
+            wr_c,
             jnp.asarray(conf_c),
         )
+        pending.append(
+            (t, n, res, fk(res.joint_angles, res.wrist_xfs), fk_gt(ja_c, wr_c))
+        )
+        t += n
 
+    for t0, n, res, tk_dev, gk_dev in pending:
+        sl = slice(t0, t0 + n)
         hv = np.asarray(res.hand_valid)[:n]  # (n, 2)
         valid[:, sl] = hv.T
-        tracked[:, sl] = np.moveaxis(
-            np.asarray(fk(res.joint_angles, res.wrist_xfs))[:n], 0, 1
-        )
-        gt[:, sl] = np.moveaxis(
-            np.asarray(fk_gt(jnp.asarray(ja_c), jnp.asarray(wr_c)))[:n], 0, 1
-        )
+        tracked[:, sl] = np.moveaxis(np.asarray(tk_dev)[:n], 0, 1)
+        gt[:, sl] = np.moveaxis(np.asarray(gk_dev)[:n], 0, 1)
         if res.predicted_scales is not None:
             scales[:, sl] = np.asarray(res.predicted_scales)[:n].T
         raw_angles[:, sl] = np.moveaxis(np.asarray(res.joint_angles)[:n], 0, 1)
         raw_wrists[:, sl] = np.moveaxis(np.asarray(res.wrist_xfs)[:n], 0, 1)
-        t += n
 
     return SequenceResult(
         tracked_keypoints=tracked,
@@ -321,11 +330,16 @@ def track_recordings_batched(
             min_num_crops=min_num_crops, src_kind=src_kind,
         )
 
+    # Images transfer to the device in their source dtype (uint8 for decoded
+    # video = 4x less host->device traffic than f32 over the PCIe/tunnel
+    # link) and are cast to f32 inside the jit, where the cast fuses into
+    # the warp's first read.
     if pipelined:
         from ..tracker.pipelined import track_chunk_eval_batched
 
         @jax.jit
         def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
+            images_c = images_c.astype(jnp.float32)
             return track_chunk_eval_batched(
                 model, opts, state, images_c, base_cams, cam_c, camera_angles,
                 hand_stack, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
@@ -340,6 +354,7 @@ def track_recordings_batched(
                 state, res = frame_step(state, *xs)
                 return state, res
 
+            images_c = images_c.astype(jnp.float32)
             return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     lengths = [
@@ -382,71 +397,95 @@ def track_recordings_batched(
     zeros_like_first = None
     v = labels_list[0].num_views
 
+    # Streaming pipeline: each chunk is dispatched asynchronously and its
+    # device results (including the FK to landmarks) are NOT pulled to the
+    # host until the whole recording set is consumed -- JAX's async dispatch
+    # then overlaps the next chunk's host-side frame assembly and
+    # host->device transfer with the device computing the previous chunk.
+    # Per-chunk result leaves are small (poses, not images), so deferring
+    # the readback costs negligible device memory.
+    pending = []  # (t_start, n, res, tracked_lm_dev, gt_lm_dev)
+
     t = 0
     while t < t_total:
         n = min(chunk_size, t_total - t)
-        # assemble (chunk_size, R, ...) host arrays; recordings past their
-        # end repeat their last frame with zero confidence (masked out)
-        imgs = []
-        cams_c = []
-        ja_c = []
-        wr_c = []
-        conf_c = []
-        for ti in range(chunk_size):
-            ft = t + min(ti, n - 1)
-            row_img, row_cam, row_ja, row_wr, row_cf = [], [], [], [], []
-            for ri, lab in enumerate(labels_list):
-                live = ft < lengths[ri] and ti < n
-                if live:
+        # pull up to n live frames per recording; recordings past their end
+        # repeat their last frame with zero confidence (masked out)
+        imgs = []  # per-recording (chunk_size, V, H, W)
+        live_counts = np.zeros(r, np.int64)
+        for ri in range(r):
+            rec_frames = []
+            for ti in range(n):
+                if t + ti < lengths[ri]:
                     try:
-                        frame = next(frame_iters[ri])
-                        last_frames[ri] = frame
+                        last_frames[ri] = np.asarray(next(frame_iters[ri]))
+                        rec_frames.append(last_frames[ri])
+                        continue
                     except StopIteration:
-                        live = False
-                        lengths[ri] = min(lengths[ri], ft)
-                if last_frames[ri] is None:
-                    if zeros_like_first is None:
-                        zeros_like_first = np.zeros(
-                            (v, 480, 636), np.float32
-                        )  # pragma: no cover - only if rec 0 is empty
-                    last_frames[ri] = zeros_like_first
-                idx = min(ft, len(lab) - 1)
-                row_img.append(np.asarray(last_frames[ri], np.float32))
-                row_cam.append(lab.camera_to_world[idx])
-                row_ja.append(lab.joint_angles[idx])
-                row_wr.append(lab.wrist_transforms[idx])
-                row_cf.append(
-                    lab.hand_confidences[idx]
-                    if live
-                    else np.zeros_like(lab.hand_confidences[idx])
-                )
-            imgs.append(np.stack(row_img))
-            cams_c.append(np.stack(row_cam))
-            ja_c.append(np.stack(row_ja))
-            wr_c.append(np.stack(row_wr))
-            conf_c.append(np.stack(row_cf))
+                        lengths[ri] = min(lengths[ri], t + ti)
+                break
+            live_counts[ri] = len(rec_frames)
+            if last_frames[ri] is None:
+                if zeros_like_first is None:
+                    zeros_like_first = np.zeros(
+                        (v, 480, 636), np.float32
+                    )  # pragma: no cover - only if rec 0 is empty
+                last_frames[ri] = zeros_like_first
+            pad = chunk_size - len(rec_frames)
+            rec_frames.extend([last_frames[ri]] * pad)
+            imgs.append(np.stack(rec_frames))
+        images_c = np.moveaxis(np.stack(imgs), 0, 1)  # (chunk, R, V, H, W)
 
-        state, res = run_chunk(
-            state,
-            _shard1(np.stack(imgs)),
-            _shard1(np.stack(cams_c)),
-            _shard1(np.stack(ja_c)),
-            _shard1(np.stack(wr_c)),
-            _shard1(np.stack(conf_c)),
+        # label arrays by fancy indexing (no per-frame python loop)
+        ts = t + np.arange(chunk_size)  # (chunk,)
+        cams_c = np.stack(
+            [lab.camera_to_world[np.minimum(ts, len(lab) - 1)] for lab in labels_list],
+            axis=1,
+        )
+        ja_c = np.stack(
+            [lab.joint_angles[np.minimum(ts, len(lab) - 1)] for lab in labels_list],
+            axis=1,
+        )
+        wr_c = np.stack(
+            [
+                lab.wrist_transforms[np.minimum(ts, len(lab) - 1)]
+                for lab in labels_list
+            ],
+            axis=1,
+        )
+        live = ts[:, None] < (t + live_counts)[None, :]  # (chunk, R)
+        conf_c = (
+            np.stack(
+                [
+                    lab.hand_confidences[np.minimum(ts, len(lab) - 1)]
+                    for lab in labels_list
+                ],
+                axis=1,
+            )
+            * live[..., None]
         )
 
-        sl = slice(t, t + n)
+        ja_dev = _shard1(ja_c)
+        wr_dev = _shard1(wr_c)
+        state, res = run_chunk(
+            state, _shard1(images_c), _shard1(cams_c), ja_dev, wr_dev,
+            _shard1(conf_c.astype(np.float32)),
+        )
+        pending.append(
+            (t, n, res, fk(res.joint_angles, res.wrist_xfs), fk_gt(ja_dev, wr_dev))
+        )
+        t += n
+
+    for t0, n, res, tk_dev, gk_dev in pending:
+        sl = slice(t0, t0 + n)
         hv = np.asarray(res.hand_valid)[:n]  # (n, R, 2)
         valid[:, :, sl] = np.moveaxis(hv, 0, 2)
-        tk = np.asarray(fk(res.joint_angles, res.wrist_xfs))[:n]  # (n, R, 2, 21, 3)
-        tracked[:, :, sl] = np.moveaxis(tk, 0, 2)
-        gk = np.asarray(fk_gt(jnp.asarray(np.stack(ja_c)), jnp.asarray(np.stack(wr_c))))[:n]
-        gt[:, :, sl] = np.moveaxis(gk, 0, 2)
+        tracked[:, :, sl] = np.moveaxis(np.asarray(tk_dev)[:n], 0, 2)
+        gt[:, :, sl] = np.moveaxis(np.asarray(gk_dev)[:n], 0, 2)
         if res.predicted_scales is not None:
             scales[:, :, sl] = np.moveaxis(np.asarray(res.predicted_scales)[:n], 0, 2)
         raw_angles[:, :, sl] = np.moveaxis(np.asarray(res.joint_angles)[:n], 0, 2)
         raw_wrists[:, :, sl] = np.moveaxis(np.asarray(res.wrist_xfs)[:n], 0, 2)
-        t += n
 
     results = []
     for ri in range(r):

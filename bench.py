@@ -109,7 +109,7 @@ def bench_tpu(iters: int = 20) -> float:
     return 1.0 / dt
 
 
-def build_batched_step(num_recordings: int = 16, chunk: int = 8):
+def build_batched_step(num_recordings: int = 16, chunk: int = 8, config=None):
     """R recordings evaluated in lockstep: the TPU analog of the reference's
     Pool(8).map_async over sequences (run_eval_known_skeleton.py:116-119).
     Uses the pipelined eval dataflow (tracker/pipelined.py): crops come
@@ -129,7 +129,7 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8):
     from absolutetrack_tpu.tracker.video_data import load_labels
 
     labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
-    cfg = ModelConfig()
+    cfg = ModelConfig() if config is None else config
     opts = TrackerConfig()
     with on_cpu():
         params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
@@ -173,10 +173,12 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8):
     return run_chunk, state, ja, wr, images_seq, chunk, r
 
 
-def bench_tpu_batched(iters: int = 10, num_recordings: int = 16) -> float:
+def bench_tpu_batched(iters: int = 10, num_recordings: int = 16, config=None) -> float:
     import jax
 
-    run_chunk, state, ja, wr, images_seq, chunk, r = build_batched_step(num_recordings)
+    run_chunk, state, ja, wr, images_seq, chunk, r = build_batched_step(
+        num_recordings, config=config
+    )
     s, res = run_chunk(state, ja, wr, images_seq)
     jax.block_until_ready(res)
     t0 = time.perf_counter()
@@ -263,7 +265,7 @@ def bench_torch_cpu(iters: int = 10) -> float:
 def main():
     # the axon TPU grant is single-client; a leftover process can make
     # backend registration fail transiently -- retry in a fresh attempt
-    seq_fps = batched_fps = None
+    seq_fps = batched_fps = serving_fps = None
     for attempt in range(3):
         try:
             seq_fps = bench_tpu()
@@ -274,6 +276,14 @@ def main():
                 time.sleep(30)
                 continue
             raise
+    try:
+        # the supported fast-serving preset (bf16 conv trunk, f32 geometry;
+        # drift vs the parity trunk pinned in tests/test_models.py)
+        from absolutetrack_tpu.models import ModelConfig
+
+        serving_fps = bench_tpu_batched(config=ModelConfig.serving())
+    except Exception as e:  # noqa: BLE001
+        print(f"serving bench failed: {e}", file=sys.stderr)
     try:
         base_fps = bench_torch_cpu()
         vs = batched_fps / base_fps
@@ -288,6 +298,9 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": None if vs is None else round(vs, 2),
                 "sequential_frames_per_s": round(seq_fps, 2),
+                "serving_bf16_frames_per_s": None
+                if serving_fps is None
+                else round(serving_fps, 2),
                 "recordings_in_lockstep": 16,
                 "baseline_torch_cpu_frames_per_s": None
                 if base_fps is None
