@@ -60,22 +60,61 @@ def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return eye + sin_t[..., None, None] * K + cos_t[..., None, None] * matmul(K, K)
 
 
-def _joint_local_transforms(
-    rotation_axes: jnp.ndarray,  # (..., 20, 3)
-    rest_positions: jnp.ndarray,  # (..., 20, 3)
-    joint_angles: jnp.ndarray,  # (..., 20)
-) -> jnp.ndarray:
-    """(..., 20, 4, 4) local joint transforms (reference hand_skinning.py:35-53)."""
-    w = rotation_axes * joint_angles[..., None]
-    rot = so3_exp(w)
-    trans = rest_positions - jnp.einsum(
-        "...ij,...j->...i", rot, rest_positions
+def _compose_rt(r1, t1, r2, t2):
+    """(R1, t1) . (R2, t2) = (R1 R2, R1 t2 + t1) on (..., 3, 3)/(..., 3)."""
+    return matmul(r1, r2), jnp.einsum("...ij,...j->...i", r1, t2) + t1
+
+
+def _skinning_rt(
+    rotation_axes: jnp.ndarray,  # (..., >=20, 3)
+    rest_positions: jnp.ndarray,  # (..., >=20, 3)
+    joint_angles: jnp.ndarray,  # (..., >=20)
+    wrist_transforms: jnp.ndarray,  # (..., 4, 4)
+):
+    """The 17 skinning frames as (rot (..., 17, 3, 3), trans (..., 17, 3)).
+
+    Frame order matches the reference (hand_skinning.py:100-127):
+    [root, wrist, f0_frame2, f0_frame3, f0_frame4, f1_frame2, ...] where a
+    finger's frames are cumulative products of its 4 local joint transforms,
+    keeping products of length 2, 3 and 4. Only the first 20 joint angles
+    participate; the trailing 2 wrist DoFs are carried by
+    ``wrist_transforms``.
+
+    The whole chain composes (R, t) pairs instead of homogeneous 4x4s: the
+    bottom row is constant, 3x3 matmuls are cheaper, and -- decisive on
+    TPU -- building 4x4s from R/t blocks lowers to scatters over
+    tiny-minor-dim tiled arrays that XLA:TPU executes painfully slowly
+    (profiled at ~2.6 ms per 128-frame batched step before this refactor).
+    """
+    n20 = NUM_DIGITS * DOF_PER_FINGER
+    w = rotation_axes[..., :n20, :] * joint_angles[..., :n20, None]
+    rot = so3_exp(w)  # (..., 20, 3, 3) local joint rotations
+    rest = rest_positions[..., :n20, :]
+    trans = rest - jnp.einsum("...ij,...j->...i", rot, rest)
+
+    batch = rot.shape[:-3]
+    # (..., 5, 4, 3, 3) / (..., 5, 4, 3): per-finger local transforms
+    r_f = rot.reshape(batch + (NUM_DIGITS, DOF_PER_FINGER, 3, 3))
+    t_f = trans.reshape(batch + (NUM_DIGITS, DOF_PER_FINGER, 3))
+
+    rw = wrist_transforms[..., None, :3, :3]  # broadcast over fingers
+    tw = wrist_transforms[..., None, :3, 3]
+    r01, t01 = _compose_rt(rw, tw, r_f[..., 0, :, :], t_f[..., 0, :])
+    r2, t2 = _compose_rt(r01, t01, r_f[..., 1, :, :], t_f[..., 1, :])
+    r3, t3 = _compose_rt(r2, t2, r_f[..., 2, :, :], t_f[..., 2, :])
+    r4, t4 = _compose_rt(r3, t3, r_f[..., 3, :, :], t_f[..., 3, :])
+    finger_r = jnp.stack([r2, r3, r4], axis=-3)  # (..., 5, 3, 3, 3)
+    finger_r = finger_r.reshape(batch + (NUM_DIGITS * 3, 3, 3))
+    finger_t = jnp.stack([t2, t3, t4], axis=-2).reshape(batch + (NUM_DIGITS * 3, 3))
+
+    rw2 = jnp.broadcast_to(
+        wrist_transforms[..., None, :3, :3], batch + (2, 3, 3)
     )
-    out = jnp.zeros(w.shape[:-1] + (4, 4), w.dtype)
-    out = out.at[..., :3, :3].set(rot)
-    out = out.at[..., :3, 3].set(trans)
-    out = out.at[..., 3, 3].set(1.0)
-    return out
+    tw2 = jnp.broadcast_to(wrist_transforms[..., None, :3, 3], batch + (2, 3))
+    return (
+        jnp.concatenate([rw2, finger_r], axis=-3),
+        jnp.concatenate([tw2, finger_t], axis=-2),
+    )
 
 
 def skinning_transforms(
@@ -84,33 +123,15 @@ def skinning_transforms(
     joint_angles: jnp.ndarray,  # (..., >=20)
     wrist_transforms: jnp.ndarray,  # (..., 4, 4)
 ) -> jnp.ndarray:
-    """The 17 skinning frames (..., 17, 4, 4).
-
-    Frame order matches the reference (hand_skinning.py:100-127):
-    [root, wrist, f0_frame2, f0_frame3, f0_frame4, f1_frame2, ...] where a
-    finger's frames are cumulative products of its 4 local joint transforms,
-    keeping products of length 2, 3 and 4. Only the first 20 joint angles
-    participate; the trailing 2 wrist DoFs are carried by
-    ``wrist_transforms``.
-    """
-    n20 = NUM_DIGITS * DOF_PER_FINGER
-    local = _joint_local_transforms(
-        rotation_axes[..., :n20, :], rest_positions[..., :n20, :], joint_angles[..., :n20]
+    """The 17 skinning frames (..., 17, 4, 4) (see ``_skinning_rt``)."""
+    r, t = _skinning_rt(
+        rotation_axes, rest_positions, joint_angles, wrist_transforms
     )
-    batch = local.shape[:-3]
-    # (..., 5, 4, 4, 4): per-finger local transforms
-    per_finger = local.reshape(batch + (NUM_DIGITS, DOF_PER_FINGER, 4, 4))
-
-    w = wrist_transforms[..., None, :, :]  # broadcast over fingers
-    m01 = matmul(w, per_finger[..., 0, :, :])
-    m2 = matmul(m01, per_finger[..., 1, :, :])  # frame after 2 joints
-    m3 = matmul(m2, per_finger[..., 2, :, :])  # after 3
-    m4 = matmul(m3, per_finger[..., 3, :, :])  # after 4
-    finger_frames = jnp.stack([m2, m3, m4], axis=-3)  # (..., 5, 3, 4, 4)
-    finger_frames = finger_frames.reshape(batch + (NUM_DIGITS * 3, 4, 4))
-
-    root_wrist = jnp.stack([wrist_transforms, wrist_transforms], axis=-3)
-    return jnp.concatenate([root_wrist, finger_frames], axis=-3)
+    top = jnp.concatenate([r, t[..., None]], axis=-1)  # (..., 17, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], r.dtype), top.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def skin_points(
@@ -122,25 +143,25 @@ def skin_points(
 ) -> jnp.ndarray:
     """LBS: blend the 17 frame transforms per point -> (..., V, 3).
 
-    out_v = sum_f skin[v,f] * (M_f @ [p_v; 1]) (reference
+    out_v = sum_f skin[v,f] * (R_f @ p_v + t_f) (reference
     hand_skinning.py:56-67 via _lbs + _get_skinned_vertices, fused here into
-    a single einsum feeding the MXU).
+    two einsums feeding the MXU -- the (R, t) split avoids homogeneous 4x4
+    assembly, see ``_skinning_rt``).
     """
-    xfs = skinning_transforms(
+    r, t = _skinning_rt(
         hand.joint_rotation_axes,
         hand.joint_rest_positions,
         joint_angles,
         wrist_transforms,
     )
-    p_h = jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
     blended = jnp.einsum(
         "...vf,...fij,...vj->...vi",
         skin_matrix,
-        xfs,
-        p_h,
+        r,
+        points,
         precision="highest",
-    )
-    return blended[..., :3]
+    ) + jnp.einsum("...vf,...fi->...vi", skin_matrix, t, precision="highest")
+    return blended
 
 
 def skin_landmarks(

@@ -6,32 +6,51 @@ boundary op (reference _warp_image, tracker.py:61-89). The XLA fallback in
 reformulate bilinear sampling as one-hot interpolation matmuls that ride
 the MXU (Mosaic has no general 2D vector gather).
 
-Orientation routing: the rig's cameras are rolled by 0/90/90/180 degrees
-(reference video_pose_data.py:23-93), and the crop look-at applies that
-roll (crop.py:31-83), so most slots' crop->source mapping is ~90-degree
-rotated: a row of crop pixels sweeps source *rows*, not columns. A
-row-banded kernel alone would cover a few hundred source rows per
-512-pixel tile there (measured median 211 rows on real poses). Each slot
-therefore picks the orientation (normal / transposed source) that
-minimizes its per-tile source-row span, and samples from a stacked array
-``[views; views^T]`` with swapped coords for rotated slots (measured
-median span after routing: 24 rows; p99 = 80; max = 123).
+Orientation routing (by OUTPUT ORDER, not by transposing the source):
+the rig's cameras are rolled by 0/90/90/180 degrees (reference
+video_pose_data.py:23-93), and the crop look-at applies that roll
+(crop.py:31-83), so most slots' crop->source mapping is ~90-degree
+rotated: a row of crop pixels sweeps source *rows*, not columns, and a
+row-banded kernel would need a few hundred source rows per 512-pixel tile
+(measured median 211 rows on real poses). Transposing the source images
+fixes the spans (median 24 after routing; p99 = 80; max = 123) but costs
+an image-sized transpose + concat chain per call -- profiled at ~10 ms
+per 128-frame batched step, as much as the warp kernel itself. Instead,
+each slot picks the ITERATION ORDER of its output pixels: rotated slots
+enumerate their crop column-major, so a 512-pixel tile covers ~5 crop
+COLUMNS, whose source rows form the same narrow band the transposed
+formulation had -- identical span statistics, zero image-sized data
+movement. The kernel runs unchanged against the plain zero-padded bf16
+views; afterwards the rotated slots' crops (tiny: crop_h x crop_w) are
+transposed back to row-major. Requires knowing the crop's 2D shape
+(``crop_hw``); calls without it skip routing and rely on the covering
+kernel when spans overflow.
+
+Coordinates flow through plane-major as one (N, 2, P) operand: the
+camera-projection chain computes x and y as planar maps, and an
+interleaved (N, P, 2) kernel operand forces XLA to materialize a
+layout-changing copy right before the call (profiled at 3.2 ms per
+128-frame batched step -- a third of the kernel's own cost). Plane-major
+stacking is a contiguous concat of the producers' layouts instead.
 
 Band-limited main path: each (slot, tile) grid step DMAs a
 2*_BAND=256-source-row window positioned by a scalar-prefetch index map
 (two MXU K tiles) and contracts the tile's interpolation row mix against
 it. The window always fits tiles whose routed row span is <= _BAND + 1 =
-129 rows (> the measured max), so real frames never diverge. Calls where
-some tile still exceeds its window (degenerate zoom-outs) divert to the
-COVERING kernel: the same contraction accumulated over all
-``HP/(2*_BAND)`` windows (grid dim m, output revisited), correct for
-arbitrary coords -- the hat-function row mix is zero outside each window,
-and a pixel's two source rows contribute from whichever passes contain
-them. Both paths beat the XLA gather fallback by >10x; the gather remains
-only as the CPU/non-TPU backend.
+129 rows (> the measured real-data max of 123), so real frames never
+diverge. Calls where some tile still exceeds its window (degenerate
+zoom-outs, unrouted rotated mappings) divert to the COVERING kernel: the
+same contraction accumulated over all ``HP/(2*_BAND)`` windows (grid dim
+m, output revisited), correct for arbitrary coords -- the hat-function
+row mix is zero outside each window, and a pixel's two source rows
+contribute from whichever passes contain them. Both paths beat the XLA
+gather fallback by >10x; the gather remains only as the CPU/non-TPU
+backend.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,24 +83,25 @@ _TILE = 512
 _BAND = 128  # row block height; a window = 2*_BAND rows = two MXU K tiles
 
 
-def _tile_contrib(coords_ref, window, base):
+def _tile_contrib(x, y, window, base):
     """One window's bilinear contribution for a 512-pixel tile -> (P,) f32.
 
     Pixels whose source rows fall in [base, base + 2*_BAND) contribute
     those rows' lerp terms, others (and invalid pixels, coords == -1.0)
-    contribute exactly 0.
+    contribute exactly 0. (A split two-half-window matmul variant measured
+    ~2% slower than the single concatenated window; Mosaic handles the
+    in-VMEM concat fine.)
     """
-    x = coords_ref[0, :, 0]
-    y = coords_ref[0, :, 1]
-
     p = x.shape[0]
     band2 = 2 * _BAND
     # (Mosaic iota is integer-only; cast for the hat arithmetic)
     iota_r = lax.broadcasted_iota(jnp.int32, (p, band2), 1).astype(jnp.float32)
-    # bf16 inputs + f32 accumulate: doubles MXU rate. The bf16 weight
-    # quantization (~4e-3 relative) is ~8x FINER than cv2.remap's own
-    # INTER_LINEAR fixed-point weights (5 fractional bits, 1/32 steps,
-    # the reference's sampler) -- still sub-LSB for uint8-valued sources.
+    # bf16 inputs + f32 accumulate: doubles MXU rate. The hat is computed
+    # in f32 (bf16 ulp near y ~ 100 is a whole pixel) and only the WEIGHT
+    # in [0, 1] is cast: that quantization (~4e-3 relative) is ~8x FINER
+    # than cv2.remap's own INTER_LINEAR fixed-point weights (5 fractional
+    # bits, 1/32 steps, the reference's sampler) -- still sub-LSB for
+    # uint8-valued sources.
     rowmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - (y[:, None] - base)))
     tmp = jnp.dot(
         rowmix.astype(jnp.bfloat16),
@@ -96,25 +116,28 @@ def _tile_contrib(coords_ref, window, base):
     return jnp.sum(tmp * colmix, axis=1)
 
 
-def _banded_warp_kernel(kref, sref, lo_ref, hi_ref, coords_ref, out_ref):
+def _banded_warp_kernel(kref, sref, lo_ref, hi_ref, xy_ref, out_ref):
     """One (slot, tile) grid step against the tile's positioned window.
 
     kref  : (N, T) scalar-prefetch row-block indices (drive the lo/hi maps).
-    sref  : (N,) scalar-prefetch stacked-source indices (view + orientation).
+    sref  : (N,) scalar-prefetch source view indices.
     lo/hi : (1, _BAND, WP) adjacent source-row blocks = the row window.
-    coords: (1, _TILE, 2); out: (1, 1, 8, _TILE//8) -- the tile is stored
-            as an (8, 64) block because Mosaic requires the last two block
-            dims to be (8k, 128k) or full-array.
+    xy    : (1, 2, _TILE) plane-major source coords (matches the planar
+            layout the camera chain produces -- an interleaved (N, P, 2)
+            operand forces a slow relayout copy before the call);
+    out   : (1, 1, 8, _TILE//8) -- the tile is stored as an (8, 64) block
+            because Mosaic requires the last two block dims to be
+            (8k, 128k) or full-array.
     """
     s = pl.program_id(0)
     t = pl.program_id(1)
     base = (kref[s, t] * _BAND).astype(jnp.float32)
     window = jnp.concatenate([lo_ref[0], hi_ref[0]], axis=0)  # (2B, WP) bf16
-    out = _tile_contrib(coords_ref, window, base)
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base)
     out_ref[0, 0] = out.reshape(8, _TILE // 8)
 
 
-def _covering_warp_kernel(sref, lo_ref, hi_ref, coords_ref, out_ref):
+def _covering_warp_kernel(sref, lo_ref, hi_ref, xy_ref, out_ref):
     """(slot, tile, window) grid step: accumulate over all row windows.
 
     Correct for ANY coords: window m holds source rows
@@ -126,7 +149,7 @@ def _covering_warp_kernel(sref, lo_ref, hi_ref, coords_ref, out_ref):
     m = pl.program_id(2)
     base = (m * 2 * _BAND).astype(jnp.float32)
     window = jnp.concatenate([lo_ref[0], hi_ref[0]], axis=0)
-    out = _tile_contrib(coords_ref, window, base)
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base)
 
     @pl.when(m == 0)
     def _init():
@@ -139,14 +162,12 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _orientation_stats(coords, h, w, n, t):
+def _orientation_stats(x, y, h, w, n, t):
     """Per-tile (lo, hi) source-row extents + per-slot total span.
 
-    ``coords`` (N, T*_TILE, 2) interpreted against source dims (h, w);
+    ``x``/``y`` (N, T*_TILE) interpreted against source dims (h, w);
     invalid pixels (out of bounds / padding markers) are excluded.
     """
-    x = coords[..., 0]
-    y = coords[..., 1]
     x0i = jnp.floor(x).astype(jnp.int32)
     y0i = jnp.floor(y).astype(jnp.int32)
     valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
@@ -158,48 +179,68 @@ def _orientation_stats(coords, h, w, n, t):
     return valid, lo, hi, jnp.sum(span, axis=-1)
 
 
+def _pad_tiles(a: jnp.ndarray, p: int, p_pad: int) -> jnp.ndarray:
+    if p_pad == p:
+        return a
+    return jnp.pad(a, ((0, 0), (0, p_pad - p)), constant_values=-1.0)
+
+
 def bilinear_sample_mxu(
-    images: jnp.ndarray,  # (V, H, W) f32
+    images: jnp.ndarray,  # (V, H, W) f32 / uint8 / bf16
     image_idx: jnp.ndarray,  # (N,) int
-    coords: jnp.ndarray,  # (N, P, 2) f32
+    coords: jnp.ndarray,  # (N, P, 2) f32, row-major over the crop when
+    #                       crop_hw is given
     interpret: bool = False,
+    crop_hw: Optional[Tuple[int, int]] = None,  # (crop_h, crop_w), P = h*w
 ) -> jnp.ndarray:
     """Orientation-routed one-hot-matmul bilinear sampling -> (N, P).
 
     Any P (padded internally to a 512 multiple) and any slot count N (the
     grid streams one (slot, window) block pair per step; nothing scales
-    with N in VMEM). Views are read straight from the stacked source by
-    scalar-prefetch index maps -- no (N, H, W) pre-gather. Calls where some
-    tile's routed source rows exceed the banded window run the covering
-    kernel instead (same math, all windows accumulated).
+    with N in VMEM). ``crop_hw`` declares the 2D structure of the P output
+    pixels and enables per-slot orientation routing: rotated slots iterate
+    their crop column-major so the banded row window fits (see module
+    docstring) and their output is transposed back afterwards. Calls
+    where some tile's source rows still exceed the banded window run the
+    covering kernel instead (same math, all windows accumulated).
     """
     n, p, _ = coords.shape
     v, h, w = images.shape
-    coords = coords.astype(jnp.float32)
+    x = coords[..., 0].astype(jnp.float32)  # planar: no (N, P, 2) operand
+    y = coords[..., 1].astype(jnp.float32)
 
     p_pad = _round_up(p, _TILE)
-    if p_pad != p:
-        coords = jnp.pad(
-            coords, ((0, 0), (0, p_pad - p), (0, 0)), constant_values=-1.0
-        )
     t = p_pad // _TILE
 
-    # --- orientation routing (XLA side, elementwise + small reductions) ---
-    side = max(h, w)
-    hp = _round_up(side, 2 * _BAND)
-    wp = _round_up(side, 128)
-    coords_t = coords[..., ::-1]  # sample images^T: (x', y') = (y, x)
-    valid_n, lo_n, hi_n, span_n = _orientation_stats(coords, h, w, n, t)
-    valid_t, lo_t, hi_t, span_t = _orientation_stats(coords_t, w, h, n, t)
-    rot = span_t < span_n  # (N,)
+    route = crop_hw is not None and crop_hw[0] * crop_hw[1] == p
+    x_rm = _pad_tiles(x, p, p_pad)
+    y_rm = _pad_tiles(y, p, p_pad)
+    valid_n, lo_n, hi_n, span_n = _orientation_stats(x_rm, y_rm, h, w, n, t)
+    if route:
+        hc, wc = crop_hw
+        # column-major enumeration of the same crop pixels: a tile then
+        # covers ~_TILE/hc crop COLUMNS, whose source-row extent is narrow
+        # exactly when the slot's mapping is ~90-degree rotated
+        cm = lambda a: _pad_tiles(
+            a.reshape(n, hc, wc).transpose(0, 2, 1).reshape(n, p), p, p_pad
+        )
+        x_cm, y_cm = cm(x), cm(y)
+        valid_t, lo_t, hi_t, span_t = _orientation_stats(x_cm, y_cm, h, w, n, t)
+        rot = span_t < span_n  # (N,)
+        valid = jnp.where(rot[:, None], valid_t, valid_n)
+        lo = jnp.where(rot[:, None], lo_t, lo_n)
+        hi = jnp.where(rot[:, None], hi_t, hi_n)
+        xs = jnp.where(rot[:, None], x_cm, x_rm)
+        ys = jnp.where(rot[:, None], y_cm, y_rm)
+    else:
+        valid, lo, hi = valid_n, lo_n, hi_n
+        xs, ys = x_rm, y_rm
+    # mark invalid pixels with exactly -1.0: both hat mixes vanish there;
+    # stack plane-major (N, 2, P): contiguous with the planar producers
+    xy = jnp.stack([jnp.where(valid, xs, -1.0), jnp.where(valid, ys, -1.0)], axis=1)
 
-    valid = jnp.where(rot[:, None], valid_t, valid_n)
-    lo = jnp.where(rot[:, None], lo_t, lo_n)
-    hi = jnp.where(rot[:, None], hi_t, hi_n)
-    routed = jnp.where(rot[:, None, None], coords_t, coords)
-    # mark invalid pixels with exactly -1.0: both hat mixes vanish there
-    routed = jnp.where(valid[..., None], routed, -1.0)
-
+    hp = _round_up(h, 2 * _BAND)
+    wp = _round_up(w, 128)
     n_blocks = hp // _BAND
     k = jnp.clip(lo // _BAND, 0, n_blocks - 2).astype(jnp.int32)  # (N, T)
     # k is the LARGEST aligned window start below lo, so this is the
@@ -208,20 +249,11 @@ def bilinear_sample_mxu(
     fits = hi <= (k + 2) * _BAND - 1  # vacuously true for empty tiles
     all_fit = jnp.all(fits)
 
-    # --- stacked sources: [views padded; views^T padded], bf16 -----------
-    # bf16 storage is mathematically identical to the kernel's own
-    # window.astype(bf16) (values only enter the bf16 matmul) and halves
-    # both the stack build traffic and the per-tile window DMA.
-    stack = jnp.concatenate(
-        [
-            jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w))),
-            jnp.pad(
-                jnp.transpose(images, (0, 2, 1)), ((0, 0), (0, hp - w), (0, wp - h))
-            ),
-        ],
-        axis=0,
-    ).astype(jnp.bfloat16)  # (2V, HP, WP)
-    sidx = (image_idx + jnp.where(rot, v, 0)).astype(jnp.int32)  # (N,)
+    # Zero-padded bf16 views: ONE cheap pad+convert fusion. bf16 storage is
+    # mathematically identical to the kernel's own window.astype(bf16)
+    # (values only enter the bf16 matmul) and halves the window DMA.
+    src = jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w))).astype(jnp.bfloat16)
+    sidx = image_idx.astype(jnp.int32)  # (N,)
 
     def banded(_):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -232,7 +264,7 @@ def bilinear_sample_mxu(
                 pl.BlockSpec(
                     (1, _BAND, wp), lambda s, j, kr, si: (si[s], kr[s, j] + 1, 0)
                 ),
-                pl.BlockSpec((1, _TILE, 2), lambda s, j, kr, si: (s, j, 0)),
+                pl.BlockSpec((1, 2, _TILE), lambda s, j, kr, si: (s, 0, j)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, 8, _TILE // 8), lambda s, j, kr, si: (s, j, 0, 0)
@@ -243,7 +275,7 @@ def bilinear_sample_mxu(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
-        )(k, sidx, stack, stack, routed)
+        )(k, sidx, src, src, xy)
         return out4.reshape(n, p_pad)
 
     def covering(_):
@@ -256,7 +288,7 @@ def bilinear_sample_mxu(
                 pl.BlockSpec(
                     (1, _BAND, wp), lambda s, j, m, si: (si[s], 2 * m + 1, 0)
                 ),
-                pl.BlockSpec((1, _TILE, 2), lambda s, j, m, si: (s, j, 0)),
+                pl.BlockSpec((1, 2, _TILE), lambda s, j, m, si: (s, 0, j)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, 8, _TILE // 8), lambda s, j, m, si: (s, j, 0, 0)
@@ -267,8 +299,12 @@ def bilinear_sample_mxu(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
-        )(sidx, stack, stack, routed)
+        )(sidx, src, src, xy)
         return out4.reshape(n, p_pad)
 
-    out = lax.cond(all_fit, banded, covering, operand=None)
-    return out[:, :p]
+    out = lax.cond(all_fit, banded, covering, operand=None)[:, :p]
+    if route:
+        # rotated slots sampled column-major: out[j*hc + i] = crop[i, j]
+        out_rm = out.reshape(n, wc, hc).transpose(0, 2, 1).reshape(n, p)
+        out = jnp.where(rot[:, None], out_rm, out)
+    return out

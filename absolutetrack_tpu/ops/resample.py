@@ -8,10 +8,9 @@ jittable op:
     4x4 pixel-to-pixel homography (lib/batched_dataset/data_transform.py:78-144).
 
 Design: coordinates are computed with vectorized camera math (VPU-friendly
-elementwise chains); sampling picks a backend per shape: the Pallas
-one-hot-MXU kernel (ops/pallas_warp.py, ~6x faster than XLA's gather on
-TPU) when the slot views fit the VMEM budget, else the XLA bilinear
-gather (also the CPU path).
+elementwise chains); sampling picks a backend per device: the Pallas
+banded one-hot-MXU kernel (ops/pallas_warp.py, >10x faster than XLA's
+gather) on TPU, the XLA bilinear gather elsewhere (also the CPU path).
 """
 
 from __future__ import annotations
@@ -88,7 +87,9 @@ def _pick_sampler(method: str, n_pixels: int, n_slots: int, img_hw):
         from .pallas_warp import bilinear_sample_mxu
 
         return bilinear_sample_mxu
-    return bilinear_sample
+    # the gather path needs no orientation routing; accept and ignore the
+    # crop-shape hint so callers can pass it uniformly
+    return lambda imgs, idx, coords, crop_hw=None: bilinear_sample(imgs, idx, coords)
 
 
 def warp_perspective_crop(
@@ -128,7 +129,7 @@ def warp_perspective_crop(
     sampler = _pick_sampler(
         method, h * w, n, (src_images.shape[-2], src_images.shape[-1])
     )
-    out = sampler(src_images, src_view_idx, src_win)
+    out = sampler(src_images, src_view_idx, src_win, crop_hw=(h, w))
     return out.reshape(n, h, w)
 
 
@@ -179,5 +180,5 @@ def warp_homography(
     sampler = _pick_sampler(
         method, h * w, n, (src_images.shape[-2], src_images.shape[-1])
     )
-    out = sampler(src_images, jnp.arange(n), src_xy)
+    out = sampler(src_images, jnp.arange(n), src_xy, crop_hw=(h, w))
     return out.reshape(n, h, w)

@@ -64,8 +64,10 @@ def build_tpu_step():
 
     rng = np.random.default_rng(0)
     chunk = 16  # frames tracked per device dispatch
+    # uint8 frames, like real decoded video: the warp samples raw
+    # intensities (bf16 represents 0..255 exactly); /255 happens post-crop
     images_seq = jnp.asarray(
-        rng.uniform(0, 255, (chunk, labels.num_views, 480, 636)).astype(np.float32)
+        rng.integers(0, 256, (chunk, labels.num_views, 480, 636), dtype=np.uint8)
     )
 
     from jax import lax
@@ -155,7 +157,7 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8, config=None):
 
     rng = np.random.default_rng(0)
     images_seq = jnp.asarray(
-        rng.uniform(0, 255, (chunk, r, v, 480, 636)).astype(np.float32)
+        rng.integers(0, 256, (chunk, r, v, 480, 636), dtype=np.uint8)
     )
 
     @jax.jit

@@ -44,16 +44,89 @@ GROUP_RULES = [
 ]
 
 
+def _device_op_events(events):
+    """(device-lane op events sorted by start, module events) from a trace."""
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
+    tid_names = {
+        (e["pid"], e["tid"]): e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    ops, mods = [], []
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in dev:
+            continue
+        lane = tid_names.get((e["pid"], e["tid"]), "")
+        if lane == "XLA Ops":
+            ops.append(e)
+        elif lane == "XLA Modules":
+            mods.append(e)
+    ops.sort(key=lambda e: (e["ts"], -e["dur"]))
+    return ops, mods
+
+
+def self_time_report(events, path, args):
+    """Leaf-attributed (self-time) per-op report: nested events (cond
+    branches, while bodies) get their children's time subtracted, so the
+    totals add up to the module's device occupancy instead of
+    double-counting."""
+    ops, mods = _device_op_events(events)
+    stack = []
+    self_time = collections.Counter()
+    counts = collections.Counter()
+    meta = {}
+    for e in ops:
+        ts, dur, name = e["ts"], e["dur"], e["name"]
+        while stack and ts >= stack[-1][0] + stack[-1][1]:
+            stack.pop()
+        if stack:
+            self_time[stack[-1][2]] -= dur
+        self_time[name] += dur
+        counts[name] += 1
+        meta.setdefault(name, e.get("args", {}))
+        stack.append((ts, dur, name))
+    total = sum(self_time.values()) / 1e3
+    print(f"trace: {path}")
+    if mods:
+        durs = [round(m["dur"] / 1e3, 3) for m in mods]
+        print(f"module dispatches: {len(mods)}, durations (ms): {durs[:10]}")
+    print(
+        f"leaf-attributed device time: {total:.3f} ms over {args.iters} iters"
+        f" -> {total / args.iters:.3f} ms/iter"
+    )
+    print(f"{'op':36s} {'ms/iter':>9s} {'count':>6s} {'%':>6s}  hlo")
+    for name, t in self_time.most_common(args.top):
+        a = meta[name]
+        ln = str(a.get("long_name", "") or a.get("tf_op", ""))
+        print(
+            f"{name[:36]:36s} {t / args.iters / 1e3:9.4f} "
+            f"{counts[name] // max(args.iters, 1):6d} "
+            f"{100 * t / max(total * 1e3, 1e-9):6.1f}  {ln[:70]}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-dir", default="tmp/trace")
     ap.add_argument("--iters", type=int, default=1, help="steps captured in the trace")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--raw", action="store_true", help="no name grouping")
+    ap.add_argument(
+        "--self",
+        action="store_true",
+        help="leaf-attributed self-time report (no double counting)",
+    )
     args = ap.parse_args()
 
     path = find_trace(args.log_dir)
     events = load_events(path)
+    if args.self:
+        return self_time_report(events, path, args)
 
     # identify device lanes: process names containing "TPU" (or "/device:")
     pid_names = {}

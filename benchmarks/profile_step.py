@@ -18,6 +18,7 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--mode", choices=["seq", "batched"], default="seq")
     ap.add_argument("--recordings", type=int, default=16)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args(argv)
 
     import jax
@@ -29,11 +30,14 @@ def main(argv=None):
 
     import bench  # repo-root bench provides the step builder
 
+    from absolutetrack_tpu.models import ModelConfig
+
+    cfg = ModelConfig.serving() if args.dtype == "bf16" else ModelConfig()
     if args.mode == "seq":
         run_chunk, state, ja, wr, images_seq, chunk = bench.build_tpu_step()
     else:
         run_chunk, state, ja, wr, images_seq, chunk, _r = bench.build_batched_step(
-            args.recordings
+            args.recordings, config=cfg
         )
     s, res = run_chunk(state, ja, wr, images_seq)  # compile outside the trace
     jax.block_until_ready(res)

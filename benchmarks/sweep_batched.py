@@ -53,7 +53,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--recordings", type=int, nargs="+", default=[16, 32])
     ap.add_argument("--dtypes", nargs="+", default=["f32", "bf16"])
-    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--chunks", type=int, nargs="+", default=[8])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -64,7 +64,8 @@ def main(argv=None):
     results = []
     for dtype in args.dtypes:
         for r in args.recordings:
-            results.append(run_config(r, dtype, args.chunk, args.iters))
+            for chunk in args.chunks:
+                results.append(run_config(r, dtype, chunk, args.iters))
     best = max(results, key=lambda x: x["frames_per_s"])
     print(json.dumps({"best": best}), flush=True)
 

@@ -56,13 +56,33 @@ class TestOneHotMxuWarp:
         b = np.asarray(bilinear_sample(imgs, idx, coords))
         np.testing.assert_allclose(a, b, atol=1.1)
 
-    def test_rotated_mapping_routes_to_transposed(self):
-        # a ~90-degree-rotated mapping (the rig's rolled cameras): y sweeps
-        # the full image height within each tile while x stays in a narrow
-        # band. The row-banded kernel can't fit this directly; per-slot
-        # orientation routing samples the transposed source instead and
-        # must match the gather path.
+    def test_rotated_mapping_routes_by_order(self):
+        # a ~90-degree-rotated mapping (the rig's rolled cameras): source y
+        # is driven by the crop COLUMN, so row-major tiles sweep the full
+        # image height. With crop_hw given, per-slot routing enumerates the
+        # crop column-major (narrow per-tile row bands, like the real
+        # rig's measured spans) and must still match the gather path.
         rng = np.random.default_rng(6)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        oy = rng.uniform(0, 80, (2, 1, 1))
+        ox = rng.uniform(0, 380, (2, 1, 1))
+        y = oy + gx[None] * 4.0 + rng.uniform(0, 1, (2, 96, 96))
+        x = ox + gy[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_rotated_mapping_without_hint_uses_covering(self):
+        # the same rotated mapping WITHOUT crop_hw cannot be routed; the
+        # call must divert to the covering kernel and stay correct
+        rng = np.random.default_rng(9)
         imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 320)).astype(np.float32))
         idx = jnp.asarray([1, 0], jnp.int32)
         base_x = rng.uniform(0, 300, (2, 1))
@@ -75,18 +95,43 @@ class TestOneHotMxuWarp:
 
     def test_mixed_orientation_slots(self):
         # one upright slot + one rotated slot in the same call: routing is
-        # per slot, both must match the gather path
+        # per slot (the rotated crop comes back transposed to row-major),
+        # both must match the gather path
         rng = np.random.default_rng(7)
         imgs = jnp.asarray(rng.integers(0, 256, (3, 256, 384)).astype(np.float32))
         idx = jnp.asarray([0, 2], jnp.int32)
-        upright = _smooth_coords(rng, 1, 512, 256, 384, row_span=25.0)
-        bx = rng.uniform(0, 360, (1, 1))
-        x = bx + np.linspace(0, 12, 512)[None] + rng.uniform(0, 1, (1, 512))
-        y = rng.uniform(0, 254, (1, 512))
-        rotated = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
-        coords = jnp.concatenate([upright, rotated], axis=0)
-        a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
+        gy, gx = np.mgrid[0:32, 0:32]
+        yu = 40 + gy[None] * 2.0 + rng.uniform(0, 1, (1, 32, 32))
+        xu = 20 + gx[None] * 3.0 + rng.uniform(0, 1, (1, 32, 32))
+        yr = 30 + gx[None] * 6.0 + rng.uniform(0, 1, (1, 32, 32))
+        xr = 200 + gy[None] * 1.5 + rng.uniform(0, 1, (1, 32, 32))
+        y = np.concatenate([yu, yr]).reshape(2, -1)
+        x = np.concatenate([xu, xr]).reshape(2, -1)
+        coords = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(32, 32))
+        )
         b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_rotated_non_square_crop_pads(self):
+        # hc != wc and P % 512 != 0: exercises the column-major reorder,
+        # the -1 tile padding of BOTH orders, and the un-transpose back to
+        # row-major (reshape uses (wc, hc), easy to get backwards)
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 400, 500)).astype(np.float32))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:48, 0:80]
+        y = 10 + gx[None] * 4.5 + rng.uniform(0, 1, (2, 48, 80))
+        x = 100 + gy[None] * 2.0 + rng.uniform(0, 1, (2, 48, 80))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(48, 80))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        assert a.shape == (2, 48 * 80)
         np.testing.assert_allclose(a, b, atol=1.1)
 
     def test_covering_window_straddle(self):
