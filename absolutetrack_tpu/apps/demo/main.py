@@ -68,6 +68,11 @@ def main(argv=None):
         "--labels", default="/root/reference/sample_data/user05/recording_00.json"
     )
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--precision", choices=["parity", "serving"], default="serving",
+        help="live demo defaults to the bf16 serving trunk (lowest "
+        "latency); parity = f32 HIGHEST conv precision",
+    )
     ap.add_argument("--max-frames", type=int, default=60)
     ap.add_argument("--no-udp", action="store_true")
     args = ap.parse_args(argv)
@@ -76,7 +81,10 @@ def main(argv=None):
     from .pipeline import DemoConfig, LiveTracker, StereoFrameSource, run_pipeline
 
     cfg = DemoConfig(send_udp=not args.no_udp)
-    model = eval_lib.build_model(args.checkpoint)
+    from ...models import ModelConfig
+
+    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
 
     if args.source == "replay":
         labels, frames, detector = build_replay(args.labels, args.max_frames)

@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--input-dir", default="/root/reference/sample_data")
     ap.add_argument("--output-dir", default="tmp/eval_results_known_skeleton")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--precision", choices=["parity", "serving"], default="parity",
+        help="serving = bf16 conv trunk, f32 geometry/solvers "
+        "(ModelConfig.serving(); landmark drift pinned by tests)",
+    )
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=None)
@@ -64,7 +69,10 @@ def main(argv=None):
     label_files = label_files[args.rank :: args.world_size]
     print(f"[rank {args.rank}] {len(label_files)} sequences")
 
-    model = eval_lib.build_model(args.checkpoint)
+    from ..models import ModelConfig
+
+    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
     errors = []
 
     def save_result(lf, rel, out_path, res):

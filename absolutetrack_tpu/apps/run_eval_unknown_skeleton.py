@@ -93,6 +93,11 @@ def main(argv=None):
     ap.add_argument("--output-dir", default="tmp/eval_results_unknown_skeleton")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument(
+        "--precision", choices=["parity", "serving"], default="parity",
+        help="serving = bf16 conv trunk, f32 geometry/solvers "
+        "(ModelConfig.serving(); landmark drift pinned by tests)",
+    )
+    ap.add_argument(
         "--generic-hand-model",
         default="/root/reference/dataset/generic_hand_model.json",
     )
@@ -110,7 +115,10 @@ def main(argv=None):
 
     label_files = find_label_files(args.input_dir, args.test_only)
     label_files = label_files[args.rank :: args.world_size]
-    model = eval_lib.build_model(args.checkpoint)
+    from ..models import ModelConfig
+
+    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
 
     errors = []
     for lf in label_files:

@@ -78,6 +78,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="tmp/torch_data")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--precision", choices=["parity", "serving"], default="parity",
+        help="serving = bf16 conv trunk, f32 geometry/solvers "
+        "(ModelConfig.serving(); landmark drift pinned by tests)",
+    )
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--prefetch", type=int, default=4)
@@ -96,7 +101,10 @@ def main(argv=None):
     sampler = ShardSampler(len(ds), args.rank, args.world_size)
     print(f"[rank {args.rank}] {len(sampler)} windows from {len(folders)} folders")
 
-    model = eval_lib.build_model(args.checkpoint)
+    from ..models import ModelConfig
+
+    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
     run = jax.jit(lambda seq: eval_window(model, seq, n_views=args.views))
 
     def load(i):

@@ -102,6 +102,11 @@ def main(argv=None):
         "--labels", default="/root/reference/sample_data/user05/recording_00.json"
     )
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--precision", choices=["parity", "serving"], default="parity",
+        help="serving = bf16 conv trunk, f32 geometry/solvers "
+        "(ModelConfig.serving(); landmark drift pinned by tests)",
+    )
     ap.add_argument("--max-frames", type=int, default=60)
     ap.add_argument("--show", action="store_true")
     ap.add_argument("--dump-dir", default=None)
@@ -114,7 +119,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     labels = load_labels(args.labels)
-    model = eval_lib.build_model(args.checkpoint)
+    from ..models import ModelConfig
+
+    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
     frames_src = eval_lib.frames_for(labels, args.labels[:-5] + ".mp4")
 
     res = eval_lib.track_recording(

@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 
-def build_tpu_step():
+def build_tpu_step(config=None):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +48,7 @@ def build_tpu_step():
     from absolutetrack_tpu.utils.runtime import on_cpu
 
     labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
-    cfg = ModelConfig()
+    cfg = ModelConfig() if config is None else config
     with on_cpu():  # init on host; jit moves params to the accelerator
         params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
     model = UmeTrackModel(params, cfg)
@@ -95,10 +95,10 @@ def build_tpu_step():
     return run_chunk, state, ja, wr, images_seq, chunk
 
 
-def bench_tpu(iters: int = 20) -> float:
+def bench_tpu(iters: int = 20, config=None) -> float:
     import jax
 
-    run_chunk, state, ja, wr, images_seq, chunk = build_tpu_step()
+    run_chunk, state, ja, wr, images_seq, chunk = build_tpu_step(config)
     # warmup / compile
     s, res = run_chunk(state, ja, wr, images_seq)
     jax.block_until_ready(res)
@@ -278,12 +278,16 @@ def main():
                 time.sleep(30)
                 continue
             raise
+    seq_serving_fps = None
     try:
         # the supported fast-serving preset (bf16 conv trunk, f32 geometry;
         # drift vs the parity trunk pinned in tests/test_models.py)
         from absolutetrack_tpu.models import ModelConfig
 
         serving_fps = bench_tpu_batched(config=ModelConfig.serving())
+        # live-demo latency point: sequential tracked-pose feedback with
+        # the serving trunk
+        seq_serving_fps = bench_tpu(config=ModelConfig.serving())
     except Exception as e:  # noqa: BLE001
         print(f"serving bench failed: {e}", file=sys.stderr)
     try:
@@ -303,6 +307,9 @@ def main():
                 "serving_bf16_frames_per_s": None
                 if serving_fps is None
                 else round(serving_fps, 2),
+                "sequential_serving_bf16_frames_per_s": None
+                if seq_serving_fps is None
+                else round(seq_serving_fps, 2),
                 "recordings_in_lockstep": 16,
                 "baseline_torch_cpu_frames_per_s": None
                 if base_fps is None
