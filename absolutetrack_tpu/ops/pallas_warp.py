@@ -3,28 +3,37 @@
 The fisheye->pinhole crop resample is the framework's hot host->compute
 boundary op (reference _warp_image, tracker.py:61-89). The XLA fallback in
 ``ops.resample`` expresses the gather with advanced indexing; these kernels
-reformulate bilinear sampling as one-hot interpolation matmuls that ride
+reformulate bilinear sampling as hat-weight interpolation matmuls that ride
 the MXU (Mosaic has no general 2D vector gather).
 
-Orientation routing (by OUTPUT ORDER, not by transposing the source):
-the rig's cameras are rolled by 0/90/90/180 degrees (reference
-video_pose_data.py:23-93), and the crop look-at applies that roll
-(crop.py:31-83), so most slots' crop->source mapping is ~90-degree
-rotated: a row of crop pixels sweeps source *rows*, not columns, and a
-row-banded kernel would need a few hundred source rows per 512-pixel tile
-(measured median 211 rows on real poses). Transposing the source images
-fixes the spans (median 24 after routing; p99 = 80; max = 123) but costs
-an image-sized transpose + concat chain per call -- profiled at ~10 ms
-per 128-frame batched step, as much as the warp kernel itself. Instead,
-each slot picks the ITERATION ORDER of its output pixels: rotated slots
-enumerate their crop column-major, so a 512-pixel tile covers ~5 crop
-COLUMNS, whose source rows form the same narrow band the transposed
-formulation had -- identical span statistics, zero image-sized data
-movement. The kernel runs unchanged against the plain zero-padded bf16
-views; afterwards the rotated slots' crops (tiny: crop_h x crop_w) are
-transposed back to row-major. Requires knowing the crop's 2D shape
-(``crop_hw``); calls without it skip routing and rely on the covering
-kernel when spans overflow.
+Tile enumeration (why output pixel ORDER is the whole game): the kernel
+contracts each 512-pixel output tile against a rectangular source window,
+so the work per tile is window_rows x window_cols -- set by how compact
+the tile's source footprint is. Three enumerations, chosen per call:
+
+* BLOCKED (primary): each tile is a (16, 32) or (32, 16) crop-pixel
+  block, the orientation routed per slot. A block's source footprint is a
+  ~quarter-size patch of the crop's footprint in BOTH axes (measured on
+  the sample recordings: row spans <= 196, col spans <= 184, vs 431-col
+  footprints for whole crop rows), so a 256-row x 384-col window always
+  fit the real data. Work per tile: 256x384 vs 256x640 full width.
+* LINE-major (fallback): rotated slots enumerate the crop column-major,
+  upright ones row-major (the rig's cameras are rolled 0/90/90/180 deg --
+  reference video_pose_data.py:23-93 -- and the crop look-at applies that
+  roll, so one of the two line orders always has narrow ROW bands:
+  median 24 rows per tile, max 123). Columns are unbounded -> the window
+  is full-width. Used when the blocked fit check fails or the crop shape
+  is not 32-divisible.
+* COVERING (last resort): accumulate over ALL row windows (grid dim m,
+  output revisited) at full width -- correct for arbitrary coords; the
+  hat-function row mix is zero outside each window, so a pixel's two
+  source rows contribute from whichever passes contain them.
+
+All enumerations are pure per-slot index permutations of the output
+pixels; each path un-permutes its own result back to row-major (tiny:
+crop_h x crop_w per slot), so no image-sized data ever moves. Requires
+knowing the crop's 2D shape (``crop_hw``); calls without it cannot be
+routed and rely on the covering kernel when row spans overflow.
 
 Coordinates flow through plane-major as one (N, 2, P) operand: the
 camera-projection chain computes x and y as planar maps, and an
@@ -33,24 +42,19 @@ layout-changing copy right before the call (profiled at 3.2 ms per
 128-frame batched step -- a third of the kernel's own cost). Plane-major
 stacking is a contiguous concat of the producers' layouts instead.
 
-Band-limited main path: each (slot, tile) grid step DMAs a
-2*_BAND=256-source-row window positioned by a scalar-prefetch index map
-(two MXU K tiles) and contracts the tile's interpolation row mix against
-it. The window always fits tiles whose routed row span is <= _BAND + 1 =
-129 rows (> the measured real-data max of 123), so real frames never
-diverge. Calls where some tile still exceeds its window (degenerate
-zoom-outs, unrouted rotated mappings) divert to the COVERING kernel: the
-same contraction accumulated over all ``HP/(2*_BAND)`` windows (grid dim
-m, output revisited), correct for arbitrary coords -- the hat-function
-row mix is zero outside each window, and a pixel's two source rows
-contribute from whichever passes contain them. Both paths beat the XLA
-gather fallback by >10x; the gather remains only as the CPU/non-TPU
-backend.
+Window placement: per (slot, tile) scalar-prefetch indices position the
+window at 128-px granularity in each axis. The row window (2*_BAND = 256
+rows, two MXU K tiles) always fits row spans <= _BAND + 1 = 129; the
+narrow path's 384-col window always fits col spans <= 257 (measured real
+maxima after blocked routing: 196 rows -- fits at the measured
+alignments -- and 184 cols). Calls where some tile exceeds its window
+divert down the fallback chain; all paths beat the XLA gather fallback by
+>10x, and the gather remains only as the CPU/non-TPU backend.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,34 +70,38 @@ except Exception:  # pragma: no cover
 # ---------------------------------------------------------------------------
 # MXU formulation: bilinear sampling as a hat-weight interpolation matmul.
 #
-# For a tile of P output pixels with source coords (x, y) and a row window
-# [base, base + 2*_BAND):
+# For a tile of P output pixels with source coords (x, y) and a window
+# whose top-left source pixel is (base, cbase):
 #   rowmix[p, r] = max(0, 1 - |r - (y_p - base)|)   -- nonzero only at the
 #                  two rows floor(y), floor(y)+1 with weights (1-wy, wy)
 #   tmp          = rowmix @ window                  -- vertical lerp, MXU
-#   colmix[p, c] = max(0, 1 - |c - x_p|)
+#   colmix[p, c] = max(0, 1 - |c - (x_p - cbase)|)
 #   out[p]       = sum_c tmp[p, c] * colmix[p, c]   -- horizontal lerp, VPU
 #
 # No gather anywhere: only iota arithmetic and a matmul -- all first-class
 # Mosaic ops. Invalid pixels are marked with coords == -1.0, for which both
-# hat functions vanish identically.
+# hat functions vanish identically (window origins are never negative).
 # ---------------------------------------------------------------------------
 
 _TILE = 512
-_BAND = 128  # row block height; a window = 2*_BAND rows = two MXU K tiles
+_BAND = 128  # row block height; a row window = 2*_BAND rows = two K tiles
+_CBLK = 128  # col block width (the lane-dim tile)
+_NCOL = 3  # narrow path: col window = _NCOL * _CBLK = 384 columns
+# blocked enumeration: tiles are (16, 32) or (32, 16) crop-pixel blocks
+_BLK = (16, 32)
 
 
-def _tile_contrib(x, y, window, base):
+def _tile_contrib(x, y, window, base, cbase):
     """One window's bilinear contribution for a 512-pixel tile -> (P,) f32.
 
-    Pixels whose source rows fall in [base, base + 2*_BAND) contribute
-    those rows' lerp terms, others (and invalid pixels, coords == -1.0)
-    contribute exactly 0. (A split two-half-window matmul variant measured
-    ~2% slower than the single concatenated window; Mosaic handles the
-    in-VMEM concat fine.)
+    Pixels whose source rows/cols fall inside the window contribute their
+    lerp terms, others (and invalid pixels, coords == -1.0) contribute
+    exactly 0. (A split two-half-window matmul variant measured ~2% slower
+    than the single concatenated window; Mosaic handles the in-VMEM concat
+    fine.)
     """
     p = x.shape[0]
-    band2 = 2 * _BAND
+    band2 = window.shape[0]
     # (Mosaic iota is integer-only; cast for the hat arithmetic)
     iota_r = lax.broadcasted_iota(jnp.int32, (p, band2), 1).astype(jnp.float32)
     # bf16 inputs + f32 accumulate: doubles MXU rate. The hat is computed
@@ -112,19 +120,20 @@ def _tile_contrib(x, y, window, base):
     iota_w = lax.broadcasted_iota(jnp.int32, (p, window.shape[1]), 1).astype(
         jnp.float32
     )
-    colmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - x[:, None]))
+    colmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - (x[:, None] - cbase)))
     return jnp.sum(tmp * colmix, axis=1)
 
 
-def _banded_warp_kernel(kref, sref, lo_ref, hi_ref, xy_ref, out_ref):
-    """One (slot, tile) grid step against the tile's positioned window.
+def _narrow_warp_kernel(
+    kref, cref, sref, w00, w01, w02, w10, w11, w12, xy_ref, out_ref
+):
+    """One (slot, tile) grid step against a (256, 384) positioned window.
 
-    kref  : (N, T) scalar-prefetch row-block indices (drive the lo/hi maps).
+    kref  : (N, T) scalar-prefetch row-block indices.
+    cref  : (N, T) scalar-prefetch col-block indices.
     sref  : (N,) scalar-prefetch source view indices.
-    lo/hi : (1, _BAND, WP) adjacent source-row blocks = the row window.
-    xy    : (1, 2, _TILE) plane-major source coords (matches the planar
-            layout the camera chain produces -- an interleaved (N, P, 2)
-            operand forces a slow relayout copy before the call);
+    wIJ   : (1, _BAND, _CBLK) source blocks; the window is their 2x3 mosaic.
+    xy    : (1, 2, _TILE) plane-major source coords.
     out   : (1, 1, 8, _TILE//8) -- the tile is stored as an (8, 64) block
             because Mosaic requires the last two block dims to be
             (8k, 128k) or full-array.
@@ -132,8 +141,30 @@ def _banded_warp_kernel(kref, sref, lo_ref, hi_ref, xy_ref, out_ref):
     s = pl.program_id(0)
     t = pl.program_id(1)
     base = (kref[s, t] * _BAND).astype(jnp.float32)
+    cbase = (cref[s, t] * _CBLK).astype(jnp.float32)
+    window = jnp.concatenate(
+        [
+            jnp.concatenate([w00[0], w01[0], w02[0]], axis=1),
+            jnp.concatenate([w10[0], w11[0], w12[0]], axis=1),
+        ],
+        axis=0,
+    )  # (2*_BAND, 3*_CBLK) bf16
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base, cbase)
+    out_ref[0, 0] = out.reshape(8, _TILE // 8)
+
+
+def _banded_warp_kernel(kref, sref, lo_ref, hi_ref, xy_ref, out_ref):
+    """One (slot, tile) grid step against a full-width positioned window.
+
+    kref  : (N, T) scalar-prefetch row-block indices (drive the lo/hi maps).
+    sref  : (N,) scalar-prefetch source view indices.
+    lo/hi : (1, _BAND, WP) adjacent source-row blocks = the row window.
+    """
+    s = pl.program_id(0)
+    t = pl.program_id(1)
+    base = (kref[s, t] * _BAND).astype(jnp.float32)
     window = jnp.concatenate([lo_ref[0], hi_ref[0]], axis=0)  # (2B, WP) bf16
-    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base)
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base, 0.0)
     out_ref[0, 0] = out.reshape(8, _TILE // 8)
 
 
@@ -149,7 +180,7 @@ def _covering_warp_kernel(sref, lo_ref, hi_ref, xy_ref, out_ref):
     m = pl.program_id(2)
     base = (m * 2 * _BAND).astype(jnp.float32)
     window = jnp.concatenate([lo_ref[0], hi_ref[0]], axis=0)
-    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base)
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base, 0.0)
 
     @pl.when(m == 0)
     def _init():
@@ -162,27 +193,157 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _orientation_stats(x, y, h, w, n, t):
-    """Per-tile (lo, hi) source-row extents + per-slot total span.
+def _tile_extents(x, y, h, w, n, t):
+    """Per-tile source extents + validity for one enumeration.
 
     ``x``/``y`` (N, T*_TILE) interpreted against source dims (h, w);
     invalid pixels (out of bounds / padding markers) are excluded.
+    Returns (valid, ylo, yhi, xlo, xhi); empty tiles have lo > hi.
     """
     x0i = jnp.floor(x).astype(jnp.int32)
     y0i = jnp.floor(y).astype(jnp.int32)
     valid = (x >= 0) & (x0i + 1 <= w - 1) & (y >= 0) & (y0i + 1 <= h - 1)
     y0c = jnp.clip(y0i, 0, h - 2)
+    x0c = jnp.clip(x0i, 0, w - 2)
     big = jnp.int32(1 << 20)
-    lo = jnp.where(valid, y0c, big).reshape(n, t, _TILE).min(axis=-1)
-    hi = jnp.where(valid, y0c + 1, -1).reshape(n, t, _TILE).max(axis=-1)
-    span = jnp.maximum(hi - jnp.minimum(lo, hi), 0)  # 0 for empty tiles
-    return valid, lo, hi, jnp.sum(span, axis=-1)
+    ylo = jnp.where(valid, y0c, big).reshape(n, t, _TILE).min(axis=-1)
+    yhi = jnp.where(valid, y0c + 1, -1).reshape(n, t, _TILE).max(axis=-1)
+    xlo = jnp.where(valid, x0c, big).reshape(n, t, _TILE).min(axis=-1)
+    xhi = jnp.where(valid, x0c + 1, -1).reshape(n, t, _TILE).max(axis=-1)
+    return valid, ylo, yhi, xlo, xhi
+
+
+def _row_placement(ylo, yhi, hp):
+    """Optimal 128-aligned row-window start blocks + fit mask.
+
+    k is the LARGEST aligned window start below ylo, so this is the best
+    single-window placement: it always fits spans <= _BAND + 1 = 129.
+    """
+    n_blocks = hp // _BAND
+    k = jnp.clip(ylo // _BAND, 0, n_blocks - 2).astype(jnp.int32)
+    fits = yhi <= (k + 2) * _BAND - 1  # vacuously true for empty tiles
+    return k, fits
+
+
+def _col_placement(xlo, xhi, wp):
+    """128-aligned col-window start blocks + fit mask (narrow path)."""
+    n_blocks = wp // _CBLK
+    kc = jnp.clip(xlo // _CBLK, 0, max(n_blocks - _NCOL, 0)).astype(jnp.int32)
+    fits = xhi <= kc * _CBLK + _NCOL * _CBLK - 1
+    return kc, fits
 
 
 def _pad_tiles(a: jnp.ndarray, p: int, p_pad: int) -> jnp.ndarray:
     if p_pad == p:
         return a
     return jnp.pad(a, ((0, 0), (0, p_pad - p)), constant_values=-1.0)
+
+
+class _Plan(NamedTuple):
+    """One enumeration's routed coords + window placement (trace-time)."""
+
+    xy: jnp.ndarray  # (N, 2, P_pad) plane-major, invalid marked -1.0
+    k: jnp.ndarray  # (N, T) row-window block starts
+    kc: Optional[jnp.ndarray]  # (N, T) col-window block starts (narrow)
+    all_fit: jnp.ndarray  # () bool: every tile fits this path's window
+    sel: Optional[jnp.ndarray]  # (N,) which orientation each slot picked
+
+
+def _mark_and_stack(valid, xs, ys):
+    # mark invalid pixels with exactly -1.0: both hat mixes vanish there;
+    # stack plane-major (N, 2, P): contiguous with the planar producers
+    return jnp.stack(
+        [jnp.where(valid, xs, -1.0), jnp.where(valid, ys, -1.0)], axis=1
+    )
+
+
+def _plan_lines(x, y, h, w, n, p, p_pad, crop_hw) -> _Plan:
+    """LINE-major enumeration: per-slot row-major vs column-major routing
+    by total row span (full-width window; only rows must fit)."""
+    t = p_pad // _TILE
+    hp = _round_up(h, 2 * _BAND)
+    x_rm = _pad_tiles(x, p, p_pad)
+    y_rm = _pad_tiles(y, p, p_pad)
+    valid_n, ylo_n, yhi_n, _, _ = _tile_extents(x_rm, y_rm, h, w, n, t)
+    if crop_hw is not None:
+        hc, wc = crop_hw
+        # column-major enumeration of the same crop pixels: a tile then
+        # covers ~_TILE/hc crop COLUMNS, whose source-row extent is narrow
+        # exactly when the slot's mapping is ~90-degree rotated
+        cm = lambda a: _pad_tiles(
+            a.reshape(n, hc, wc).transpose(0, 2, 1).reshape(n, p), p, p_pad
+        )
+        x_cm, y_cm = cm(x), cm(y)
+        valid_t, ylo_t, yhi_t, _, _ = _tile_extents(x_cm, y_cm, h, w, n, t)
+        span_n = jnp.sum(jnp.maximum(yhi_n - jnp.minimum(ylo_n, yhi_n), 0), -1)
+        span_t = jnp.sum(jnp.maximum(yhi_t - jnp.minimum(ylo_t, yhi_t), 0), -1)
+        rot = span_t < span_n  # (N,)
+        valid = jnp.where(rot[:, None], valid_t, valid_n)
+        ylo = jnp.where(rot[:, None], ylo_t, ylo_n)
+        yhi = jnp.where(rot[:, None], yhi_t, yhi_n)
+        xs = jnp.where(rot[:, None], x_cm, x_rm)
+        ys = jnp.where(rot[:, None], y_cm, y_rm)
+    else:
+        rot = None
+        valid, ylo, yhi = valid_n, ylo_n, yhi_n
+        xs, ys = x_rm, y_rm
+    k, fits = _row_placement(ylo, yhi, hp)
+    return _Plan(_mark_and_stack(valid, xs, ys), k, None, jnp.all(fits), rot)
+
+
+def _blocked_perm(a, n, hc, wc, bh, bw):
+    """(N, hc*wc) row-major -> blocked order with (bh, bw) blocks."""
+    return (
+        a.reshape(n, hc // bh, bh, wc // bw, bw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n, hc * wc)
+    )
+
+
+def _blocked_unperm(a, n, hc, wc, bh, bw):
+    """Inverse of _blocked_perm."""
+    return (
+        a.reshape(n, hc // bh, wc // bw, bh, bw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n, hc * wc)
+    )
+
+
+def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
+    """BLOCKED enumeration: (16, 32) / (32, 16) crop-pixel blocks as tiles,
+    orientation routed per slot; both axes banded (narrow window)."""
+    hc, wc = crop_hw
+    bh, bw = _BLK
+    if hc % max(bh, bw) or wc % max(bh, bw):
+        return None  # both orientations must tile the crop exactly
+    hp = _round_up(h, 2 * _BAND)
+    wp = _round_up(w, _CBLK)
+    if wp < _NCOL * _CBLK or hp < 2 * _BAND:
+        return None  # source too small for the narrow window mosaic
+    t = p // _TILE  # p is exactly (hc/bh)*(wc/bw)*512 here
+
+    cands = []
+    for (obh, obw) in (( bh, bw), (bw, bh)):
+        xs = _blocked_perm(x, n, hc, wc, obh, obw)
+        ys = _blocked_perm(y, n, hc, wc, obh, obw)
+        valid, ylo, yhi, xlo, xhi = _tile_extents(xs, ys, h, w, n, t)
+        k, fit_r = _row_placement(ylo, yhi, hp)
+        kc, fit_c = _col_placement(xlo, xhi, wp)
+        fit = fit_r & fit_c
+        # routing score: most fitting tiles, then tightest row spans
+        nfit = jnp.sum(fit, axis=-1)
+        rsum = jnp.sum(jnp.maximum(yhi - jnp.minimum(ylo, yhi), 0), -1)
+        cands.append((xs, ys, valid, k, kc, fit, nfit, rsum))
+    c1, c2 = cands
+    pick2 = (c2[6] > c1[6]) | ((c2[6] == c1[6]) & (c2[7] < c1[7]))  # (N,)
+    mix = lambda a1, a2: jnp.where(pick2[:, None], a2, a1)
+    xs = mix(c1[0], c2[0])
+    ys = mix(c1[1], c2[1])
+    valid = mix(c1[2], c2[2])
+    k = mix(c1[3], c2[3])
+    kc = mix(c1[4], c2[4])
+    fit = mix(c1[5], c2[5])
+    return _Plan(_mark_and_stack(valid, xs, ys), k, kc, jnp.all(fit), pick2)
 
 
 def bilinear_sample_mxu(
@@ -193,16 +354,15 @@ def bilinear_sample_mxu(
     interpret: bool = False,
     crop_hw: Optional[Tuple[int, int]] = None,  # (crop_h, crop_w), P = h*w
 ) -> jnp.ndarray:
-    """Orientation-routed one-hot-matmul bilinear sampling -> (N, P).
+    """Orientation-routed hat-matmul bilinear sampling -> (N, P).
 
     Any P (padded internally to a 512 multiple) and any slot count N (the
-    grid streams one (slot, window) block pair per step; nothing scales
+    grid streams one (slot, window) block set per step; nothing scales
     with N in VMEM). ``crop_hw`` declares the 2D structure of the P output
-    pixels and enables per-slot orientation routing: rotated slots iterate
-    their crop column-major so the banded row window fits (see module
-    docstring) and their output is transposed back afterwards. Calls
-    where some tile's source rows still exceed the banded window run the
-    covering kernel instead (same math, all windows accumulated).
+    pixels and enables the routed enumerations (see module docstring);
+    each path un-permutes its own output back to row-major. The fallback
+    chain narrow -> banded -> covering is resolved per call with the
+    cheap trace-time extent stats above.
     """
     n, p, _ = coords.shape
     v, h, w = images.shape
@@ -210,52 +370,60 @@ def bilinear_sample_mxu(
     y = coords[..., 1].astype(jnp.float32)
 
     p_pad = _round_up(p, _TILE)
-    t = p_pad // _TILE
 
     route = crop_hw is not None and crop_hw[0] * crop_hw[1] == p
-    x_rm = _pad_tiles(x, p, p_pad)
-    y_rm = _pad_tiles(y, p, p_pad)
-    valid_n, lo_n, hi_n, span_n = _orientation_stats(x_rm, y_rm, h, w, n, t)
-    if route:
-        hc, wc = crop_hw
-        # column-major enumeration of the same crop pixels: a tile then
-        # covers ~_TILE/hc crop COLUMNS, whose source-row extent is narrow
-        # exactly when the slot's mapping is ~90-degree rotated
-        cm = lambda a: _pad_tiles(
-            a.reshape(n, hc, wc).transpose(0, 2, 1).reshape(n, p), p, p_pad
-        )
-        x_cm, y_cm = cm(x), cm(y)
-        valid_t, lo_t, hi_t, span_t = _orientation_stats(x_cm, y_cm, h, w, n, t)
-        rot = span_t < span_n  # (N,)
-        valid = jnp.where(rot[:, None], valid_t, valid_n)
-        lo = jnp.where(rot[:, None], lo_t, lo_n)
-        hi = jnp.where(rot[:, None], hi_t, hi_n)
-        xs = jnp.where(rot[:, None], x_cm, x_rm)
-        ys = jnp.where(rot[:, None], y_cm, y_rm)
-    else:
-        valid, lo, hi = valid_n, lo_n, hi_n
-        xs, ys = x_rm, y_rm
-    # mark invalid pixels with exactly -1.0: both hat mixes vanish there;
-    # stack plane-major (N, 2, P): contiguous with the planar producers
-    xy = jnp.stack([jnp.where(valid, xs, -1.0), jnp.where(valid, ys, -1.0)], axis=1)
+    lines = _plan_lines(x, y, h, w, n, p, p_pad, crop_hw if route else None)
+    blocked = (
+        _plan_blocked(x, y, h, w, n, p, crop_hw) if route else None
+    )
 
     hp = _round_up(h, 2 * _BAND)
-    wp = _round_up(w, 128)
-    n_blocks = hp // _BAND
-    k = jnp.clip(lo // _BAND, 0, n_blocks - 2).astype(jnp.int32)  # (N, T)
-    # k is the LARGEST aligned window start below lo, so this is the
-    # optimal single-window placement: it always fits spans <= _BAND + 1
-    # (> the measured real-data max of 123 rows after routing)
-    fits = hi <= (k + 2) * _BAND - 1  # vacuously true for empty tiles
-    all_fit = jnp.all(fits)
-
+    wp = _round_up(w, _CBLK)
     # Zero-padded bf16 views: ONE cheap pad+convert fusion. bf16 storage is
     # mathematically identical to the kernel's own window.astype(bf16)
     # (values only enter the bf16 matmul) and halves the window DMA.
     src = jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w))).astype(jnp.bfloat16)
     sidx = image_idx.astype(jnp.int32)  # (N,)
 
+    def narrow(_):
+        t = p // _TILE
+        hc, wc = crop_hw
+        bspec = lambda di, dj: pl.BlockSpec(
+            (1, _BAND, _CBLK),
+            lambda s, j, kr, kc, si, di=di, dj=dj: (
+                si[s],
+                kr[s, j] + di,
+                kc[s, j] + dj,
+            ),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n, t),
+            in_specs=[bspec(di, dj) for di in (0, 1) for dj in (0, 1, 2)]
+            + [
+                pl.BlockSpec(
+                    (1, 2, _TILE), lambda s, j, kr, kc, si: (s, 0, j)
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, _TILE // 8), lambda s, j, kr, kc, si: (s, j, 0, 0)
+            ),
+        )
+        out4 = pl.pallas_call(
+            _narrow_warp_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
+            interpret=interpret,
+        )(blocked.k, blocked.kc, sidx, *([src] * 6), blocked.xy)
+        out = out4.reshape(n, p)
+        # un-permute each slot with the block orientation it picked
+        bh, bw = _BLK
+        out1 = _blocked_unperm(out, n, hc, wc, bh, bw)
+        out2 = _blocked_unperm(out, n, hc, wc, bw, bh)
+        return jnp.where(blocked.sel[:, None], out2, out1)
+
     def banded(_):
+        t = p_pad // _TILE
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n, t),
@@ -275,10 +443,11 @@ def bilinear_sample_mxu(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
-        )(k, sidx, src, src, xy)
-        return out4.reshape(n, p_pad)
+        )(lines.k, sidx, src, src, lines.xy)
+        return _unperm_lines(out4.reshape(n, p_pad)[:, :p])
 
     def covering(_):
+        t = p_pad // _TILE
         m_windows = hp // (2 * _BAND)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -299,12 +468,18 @@ def bilinear_sample_mxu(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
-        )(sidx, src, src, xy)
-        return out4.reshape(n, p_pad)
+        )(sidx, src, src, lines.xy)
+        return _unperm_lines(out4.reshape(n, p_pad)[:, :p])
 
-    out = lax.cond(all_fit, banded, covering, operand=None)[:, :p]
-    if route:
+    def _unperm_lines(out):
+        if lines.sel is None:
+            return out
+        hc, wc = crop_hw
         # rotated slots sampled column-major: out[j*hc + i] = crop[i, j]
         out_rm = out.reshape(n, wc, hc).transpose(0, 2, 1).reshape(n, p)
-        out = jnp.where(rot[:, None], out_rm, out)
-    return out
+        return jnp.where(lines.sel[:, None], out_rm, out)
+
+    full = lambda _: lax.cond(lines.all_fit, banded, covering, operand=None)
+    if blocked is None:
+        return full(None)
+    return lax.cond(blocked.all_fit, narrow, full, operand=None)

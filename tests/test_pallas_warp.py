@@ -7,7 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from absolutetrack_tpu.ops.pallas_warp import _BAND, bilinear_sample_mxu
+from absolutetrack_tpu.ops.pallas_warp import (
+    _BAND,
+    _plan_blocked,
+    _plan_lines,
+    bilinear_sample_mxu,
+)
 from absolutetrack_tpu.ops.resample import bilinear_sample
 
 
@@ -70,6 +75,61 @@ class TestOneHotMxuWarp:
         ox = rng.uniform(0, 380, (2, 1, 1))
         y = oy + gx[None] * 4.0 + rng.uniform(0, 1, (2, 96, 96))
         x = ox + gy[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_narrow_blocked_path(self):
+        # realistic crop-like mappings (moderate gradients, one upright and
+        # one rotated slot): the blocked enumeration must fit the narrow
+        # 256x384 window (asserted via the plan) and match the gather path
+        rng = np.random.default_rng(12)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        # upright: y driven by crop row, x by crop col (~2 src px per crop px)
+        yu = 120 + gy[None] * 2.2 + rng.uniform(0, 1, (1, 96, 96))
+        xu = 300 + gx[None] * 2.4 + rng.uniform(0, 1, (1, 96, 96))
+        # rotated: y driven by crop col, x by crop row
+        yr = 60 + gx[None] * 2.1 + rng.uniform(0, 1, (1, 96, 96))
+        xr = 80 + gy[None] * 3.0 + rng.uniform(0, 1, (1, 96, 96))
+        x = np.concatenate([xu, xr]).reshape(2, -1)
+        y = np.concatenate([yu, yr]).reshape(2, -1)
+        plan = _plan_blocked(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            480, 636, 2, 96 * 96, (96, 96),
+        )
+        assert plan is not None and bool(plan.all_fit)
+        coords = jnp.asarray(np.stack([x, y], -1).astype(np.float32))
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_wide_cols_fall_back_to_banded(self):
+        # narrow row bands but a >400-px column footprint per block: the
+        # blocked narrow window cannot fit, the line-routed banded
+        # (full-width) path must run and stay correct
+        rng = np.random.default_rng(13)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([0, 1], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        y = 100 + gy[None] * 0.4 + rng.uniform(0, 1, (2, 96, 96))
+        # sawtooth x: adjacent crop pixels jump across the full width, so
+        # every block's column footprint is ~620 px in both orientations
+        x = (gx[None] * 37.3) % 620.0 + rng.uniform(0, 1, (2, 96, 96))
+        xf = jnp.asarray(x.reshape(2, -1), jnp.float32)
+        yf = jnp.asarray(y.reshape(2, -1), jnp.float32)
+        plan_b = _plan_blocked(xf, yf, 480, 636, 2, 96 * 96, (96, 96))
+        assert plan_b is not None and not bool(plan_b.all_fit)
+        plan_l = _plan_lines(xf, yf, 480, 636, 2, 96 * 96, 96 * 96, (96, 96))
+        assert bool(plan_l.all_fit)
         coords = jnp.asarray(
             np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
         )
