@@ -111,9 +111,16 @@ def _tile_contrib(x, y, window, base, cbase):
     # bits, 1/32 steps, the reference's sampler) -- still sub-LSB for
     # uint8-valued sources.
     rowmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - (y[:, None] - base)))
+    if window.dtype == jnp.uint8:
+        # uint8 sources convert here, in VMEM: the HBM window DMA moves 1
+        # byte/px instead of 2 and the whole-image pad+convert disappears
+        # (bf16 represents 0..255 exactly, so the math is unchanged).
+        # Mosaic has no direct u8->bf16 cast; u8->i32->bf16 is supported
+        # and exact for 0..255.
+        window = window.astype(jnp.int32).astype(jnp.bfloat16)
     tmp = jnp.dot(
         rowmix.astype(jnp.bfloat16),
-        window,  # already bf16
+        window.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
 
@@ -379,10 +386,14 @@ def bilinear_sample_mxu(
 
     hp = _round_up(h, 2 * _BAND)
     wp = _round_up(w, _CBLK)
-    # Zero-padded bf16 views: ONE cheap pad+convert fusion. bf16 storage is
-    # mathematically identical to the kernel's own window.astype(bf16)
-    # (values only enter the bf16 matmul) and halves the window DMA.
-    src = jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w))).astype(jnp.bfloat16)
+    # Zero-padded source views. uint8 sources (decoded video) stay uint8
+    # through HBM -- the kernels convert each window in VMEM -- halving the
+    # window DMA and skipping the whole-image convert; everything else is
+    # padded + pre-converted to bf16 once (values only enter the bf16
+    # matmul either way, so the math is identical).
+    src = jnp.pad(images, ((0, 0), (0, hp - h), (0, wp - w)))
+    if src.dtype != jnp.uint8:
+        src = src.astype(jnp.bfloat16)
     sidx = image_idx.astype(jnp.int32)  # (N,)
 
     def narrow(_):

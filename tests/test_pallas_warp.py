@@ -84,6 +84,28 @@ class TestOneHotMxuWarp:
         b = np.asarray(bilinear_sample(imgs, idx, coords))
         np.testing.assert_allclose(a, b, atol=1.1)
 
+    def test_uint8_source_stays_uint8(self):
+        # decoded video frames are uint8; the kernel keeps them uint8
+        # through HBM (half the window DMA) and converts in VMEM via
+        # u8 -> i32 -> bf16 (the only Mosaic-supported exact chain).
+        # Narrow + covering paths must both match the gather oracle.
+        rng = np.random.default_rng(21)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636), dtype=np.uint8))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        y = 120 + gy[None] * 2.2 + rng.uniform(0, 1, (2, 96, 96))
+        x = 300 + gx[None] * 2.4 + rng.uniform(0, 1, (2, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        np.testing.assert_allclose(a, b, atol=1.1)
+        a2 = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
+        np.testing.assert_allclose(a2, b, atol=1.1)
+
     def test_narrow_blocked_path(self):
         # realistic crop-like mappings (moderate gradients, one upright and
         # one rotated slot): the blocked enumeration must fit the narrow
