@@ -15,8 +15,17 @@ the tile's source footprint is. Three enumerations, chosen per call:
   block, the orientation routed per slot. A block's source footprint is a
   ~quarter-size patch of the crop's footprint in BOTH axes (measured on
   the sample recordings: row spans <= 196, col spans <= 184, vs 431-col
-  footprints for whole crop rows), so a 256-row x 384-col window always
-  fit the real data. Work per tile: 256x384 vs 256x640 full width.
+  footprints for whole crop rows; median 30 rows x 59 cols). Runs as TWO
+  passes: pass A grids over SLOTS and loops each slot's tiles with a
+  manually double-buffered single-DMA (128, 256) window per tile (1/3 of
+  the single-window MACs; fits 99.8% of real tiles; the slot-grid manual
+  DMA measured 13% faster than the equivalent BlockSpec grid because the
+  per-grid-step fixed cost amortizes over T tiles and each window is one
+  copy instead of four block DMAs). An overflow pass then walks a
+  fixed-budget prefetched list of the tiles that missed and redoes just
+  those at the full (256, 384) window; a per-tile select merges. Falls
+  back to the single (256, 384)-window kernel when the overflow list
+  overflows ITS budget.
 * LINE-major (fallback): rotated slots enumerate the crop column-major,
   upright ones row-major (the rig's cameras are rolled 0/90/90/180 deg --
   reference video_pose_data.py:23-93 -- and the crop look-at applies that
@@ -89,6 +98,13 @@ _CBLK = 128  # col block width (the lane-dim tile)
 _NCOL = 3  # narrow path: col window = _NCOL * _CBLK = 384 columns
 # blocked enumeration: tiles are (16, 32) or (32, 16) crop-pixel blocks
 _BLK = (16, 32)
+# two-pass path: pass A contracts a (128, 256) window (64-aligned rows,
+# 128-aligned cols) -- 1/3 of the narrow window's MACs; the few tiles that
+# overflow it (~0.2% on real poses) are redone by a prefetch-indexed
+# overflow pass with the full (256, 384) window, up to this many per call
+_RBLK2 = 64  # pass-A row block; window = 2 * 64 = 128 rows
+_OVERFLOW_BUDGET = 192
+_TWOPASS_MIN_TILES = 2048  # below this the single narrow kernel is cheaper
 
 
 def _tile_contrib(x, y, window, base, cbase):
@@ -156,6 +172,88 @@ def _narrow_warp_kernel(
         ],
         axis=0,
     )  # (2*_BAND, 3*_CBLK) bf16
+    out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base, cbase)
+    out_ref[0, 0] = out.reshape(8, _TILE // 8)
+
+
+def _fused_warp_kernel(kref, cref, sref, src_hbm, xy_ref, out_ref, wbuf, sems):
+    """Pass A: one grid step per SLOT; internal tile loop with manual
+    double-buffered window DMA.
+
+    Each tile contracts a (128, 256) window (rows 64-aligned, cols
+    128-aligned) fetched as ONE dynamic-slice async copy from the
+    unblocked source -- vs a grid step + 4 block DMAs per tile with
+    BlockSpec pipelining. Amortizing the per-grid-step fixed cost over
+    the slot's T tiles and quartering the DMA issues measured 13% faster
+    end-to-end than the BlockSpec formulation (which itself beat the
+    single-window kernel). Tiles whose footprint overflows this window
+    write garbage here and are redone by the overflow pass; the caller
+    selects per tile.
+
+    kref/cref : (N, T) window starts (64-row / 128-col units).
+    sref      : (N,) source view indices.
+    src_hbm   : (V, HP, WP) unblocked source (compiler-chosen space).
+    xy_ref    : (1, 2, P) this slot's plane-major coords (VMEM block).
+    out_ref   : (1, T, 8, _TILE//8) this slot's output (VMEM block).
+    wbuf/sems : (2, 128, 256) window scratch + DMA semaphores.
+    """
+    s = pl.program_id(0)
+    t = out_ref.shape[1]
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            src_hbm.at[
+                sref[s],
+                pl.ds(kref[s, j] * _RBLK2, 2 * _RBLK2),
+                pl.ds(cref[s, j] * _CBLK, 2 * _CBLK),
+            ],
+            wbuf.at[slot],
+            sems.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(j, _):
+        cur = lax.rem(j, 2)
+
+        @pl.when(j + 1 < t)
+        def _():
+            get_dma(lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(cur, j).wait()
+        base = (kref[s, j] * _RBLK2).astype(jnp.float32)
+        cbase = (cref[s, j] * _CBLK).astype(jnp.float32)
+        x = xy_ref[0, 0, pl.ds(j * _TILE, _TILE)]
+        y = xy_ref[0, 1, pl.ds(j * _TILE, _TILE)]
+        out = _tile_contrib(x, y, wbuf[cur], base, cbase)
+        out_ref[0, j] = out.reshape(8, _TILE // 8)
+        return ()
+
+    lax.fori_loop(0, t, body, ())
+
+
+def _overflow_warp_kernel(
+    sref, kref, cref, osref, otref, w00, w01, w02, w10, w11, w12, xy_ref, out_ref
+):
+    """Two-pass path, pass B: one grid step per overflow tile.
+
+    The grid walks a fixed-size prefetched list of (slot, tile) pairs
+    (osref/otref); window blocks, coords, and the output block are all
+    positioned by that list, so only the overflowing tiles are recomputed
+    -- at the full (256, 384) narrow window. Padding entries repeat a real
+    tile (duplicate writes of identical data; the caller's per-tile select
+    ignores anything that did fit pass A)."""
+    i = pl.program_id(0)
+    base = (kref[i] * _BAND).astype(jnp.float32)
+    cbase = (cref[i] * _CBLK).astype(jnp.float32)
+    del sref, osref, otref  # consumed by the index maps
+    window = jnp.concatenate(
+        [
+            jnp.concatenate([w00[0], w01[0], w02[0]], axis=1),
+            jnp.concatenate([w10[0], w11[0], w12[0]], axis=1),
+        ],
+        axis=0,
+    )  # (2*_BAND, 3*_CBLK)
     out = _tile_contrib(xy_ref[0, 0], xy_ref[0, 1], window, base, cbase)
     out_ref[0, 0] = out.reshape(8, _TILE // 8)
 
@@ -254,6 +352,10 @@ class _Plan(NamedTuple):
     kc: Optional[jnp.ndarray]  # (N, T) col-window block starts (narrow)
     all_fit: jnp.ndarray  # () bool: every tile fits this path's window
     sel: Optional[jnp.ndarray]  # (N,) which orientation each slot picked
+    fit: Optional[jnp.ndarray] = None  # (N, T) per-tile narrow-window fit
+    k2: Optional[jnp.ndarray] = None  # (N, T) pass-A row starts (64-units)
+    kc2: Optional[jnp.ndarray] = None  # (N, T) pass-A col starts
+    fit_a: Optional[jnp.ndarray] = None  # (N, T) pass-A (128, 256) fit
 
 
 def _mark_and_stack(valid, xs, ys):
@@ -337,10 +439,16 @@ def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
         k, fit_r = _row_placement(ylo, yhi, hp)
         kc, fit_c = _col_placement(xlo, xhi, wp)
         fit = fit_r & fit_c
+        # pass-A placement: (128, 256) window, rows 64-aligned
+        k2 = jnp.clip(ylo // _RBLK2, 0, hp // _RBLK2 - 2).astype(jnp.int32)
+        fit_r2 = yhi <= (k2 + 2) * _RBLK2 - 1
+        kc2 = jnp.clip(xlo // _CBLK, 0, wp // _CBLK - 2).astype(jnp.int32)
+        fit_c2 = xhi <= (kc2 + 2) * _CBLK - 1
+        fit_a = fit_r2 & fit_c2
         # routing score: most fitting tiles, then tightest row spans
         nfit = jnp.sum(fit, axis=-1)
         rsum = jnp.sum(jnp.maximum(yhi - jnp.minimum(ylo, yhi), 0), -1)
-        cands.append((xs, ys, valid, k, kc, fit, nfit, rsum))
+        cands.append((xs, ys, valid, k, kc, fit, nfit, rsum, k2, kc2, fit_a))
     c1, c2 = cands
     pick2 = (c2[6] > c1[6]) | ((c2[6] == c1[6]) & (c2[7] < c1[7]))  # (N,)
     mix = lambda a1, a2: jnp.where(pick2[:, None], a2, a1)
@@ -350,7 +458,20 @@ def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
     k = mix(c1[3], c2[3])
     kc = mix(c1[4], c2[4])
     fit = mix(c1[5], c2[5])
-    return _Plan(_mark_and_stack(valid, xs, ys), k, kc, jnp.all(fit), pick2)
+    k2 = mix(c1[8], c2[8])
+    kc2 = mix(c1[9], c2[9])
+    fit_a = mix(c1[10], c2[10])
+    return _Plan(
+        _mark_and_stack(valid, xs, ys),
+        k,
+        kc,
+        jnp.all(fit),
+        pick2,
+        fit=fit,
+        k2=k2,
+        kc2=kc2,
+        fit_a=fit_a,
+    )
 
 
 def bilinear_sample_mxu(
@@ -396,6 +517,88 @@ def bilinear_sample_mxu(
         src = src.astype(jnp.bfloat16)
     sidx = image_idx.astype(jnp.int32)  # (N,)
 
+    def _unperm_blocked(out):
+        # un-permute each slot with the block orientation it picked
+        hc, wc = crop_hw
+        bh, bw = _BLK
+        out1 = _blocked_unperm(out, n, hc, wc, bh, bw)
+        out2 = _blocked_unperm(out, n, hc, wc, bw, bh)
+        return jnp.where(blocked.sel[:, None], out2, out1)
+
+    def pass_a(_):
+        t = p // _TILE
+        gridA = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 2, p), lambda s, kr, kc, si: (s, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, t, 8, _TILE // 8), lambda s, kr, kc, si: (s, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2 * _RBLK2, 2 * _CBLK), src.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            _fused_warp_kernel,
+            grid_spec=gridA,
+            out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
+            interpret=interpret,
+        )(blocked.k2, blocked.kc2, sidx, src, blocked.xy)
+
+    def fused_only(_):
+        # every tile fits the (128, 256) window: pass A alone
+        return _unperm_blocked(pass_a(None).reshape(n, p))
+
+    def twopass(_):
+        t = p // _TILE
+        budget = min(_OVERFLOW_BUDGET, max(n * t // 16, 8))
+        outA = pass_a(None)
+
+        # pass B: the <= budget overflow tiles at the full (256, 384) window
+        flat_over = ~blocked.fit_a.reshape(-1)
+        (oidx,) = jnp.nonzero(flat_over, size=budget, fill_value=0)
+        os_ = (oidx // t).astype(jnp.int32)
+        ot_ = (oidx % t).astype(jnp.int32)
+        sio = sidx[os_]
+        kro = blocked.k[os_, ot_]
+        kco = blocked.kc[os_, ot_]
+        bspecB = lambda di, dj: pl.BlockSpec(
+            (1, _BAND, _CBLK),
+            lambda i, si, kr, kc, os, ot, di=di, dj=dj: (
+                si[i],
+                kr[i] + di,
+                kc[i] + dj,
+            ),
+        )
+        gridB = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(budget,),
+            in_specs=[bspecB(di, dj) for di in (0, 1) for dj in (0, 1, 2)]
+            + [
+                pl.BlockSpec(
+                    (1, 2, _TILE), lambda i, si, kr, kc, os, ot: (os[i], 0, ot[i])
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, _TILE // 8),
+                lambda i, si, kr, kc, os, ot: (os[i], ot[i], 0, 0),
+            ),
+        )
+        outB = pl.pallas_call(
+            _overflow_warp_kernel,
+            grid_spec=gridB,
+            out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
+            interpret=interpret,
+        )(sio, kro, kco, os_, ot_, *([src] * 6), blocked.xy)
+
+        sel = blocked.fit_a[..., None, None]  # (n, t, 1, 1)
+        out = jnp.where(sel, outA, outB).reshape(n, p)
+        return _unperm_blocked(out)
+
     def narrow(_):
         t = p // _TILE
         hc, wc = crop_hw
@@ -426,12 +629,7 @@ def bilinear_sample_mxu(
             out_shape=jax.ShapeDtypeStruct((n, t, 8, _TILE // 8), jnp.float32),
             interpret=interpret,
         )(blocked.k, blocked.kc, sidx, *([src] * 6), blocked.xy)
-        out = out4.reshape(n, p)
-        # un-permute each slot with the block orientation it picked
-        bh, bw = _BLK
-        out1 = _blocked_unperm(out, n, hc, wc, bh, bw)
-        out2 = _blocked_unperm(out, n, hc, wc, bw, bh)
-        return jnp.where(blocked.sel[:, None], out2, out1)
+        return _unperm_blocked(out4.reshape(n, p))
 
     def banded(_):
         t = p_pad // _TILE
@@ -493,4 +691,17 @@ def bilinear_sample_mxu(
     full = lambda _: lax.cond(lines.all_fit, banded, covering, operand=None)
     if blocked is None:
         return full(None)
-    return lax.cond(blocked.all_fit, narrow, full, operand=None)
+    # dispatch: pass A alone when every tile fits its (128, 256) window;
+    # pass A + overflow pass when the few misses fit the budget AND the
+    # (256, 384) overflow window; the single narrow kernel otherwise.
+    # Small calls (the sequential live path) skip the overflow machinery:
+    # its fixed-size pass + merge cost more than they save there.
+    fallback = lambda _: lax.cond(blocked.all_fit, narrow, full, operand=None)
+    n_over = jnp.sum(~blocked.fit_a)
+    if blocked.fit_a.size < _TWOPASS_MIN_TILES:
+        return lax.cond(n_over == 0, fused_only, fallback, operand=None)
+    budget = min(_OVERFLOW_BUDGET, max(blocked.fit_a.size // 16, 8))
+    twopass_ok = (
+        (n_over <= budget) & jnp.all(blocked.fit_a | blocked.fit)
+    )
+    return lax.cond(twopass_ok, twopass, fallback, operand=None)

@@ -134,6 +134,68 @@ class TestOneHotMxuWarp:
         b = np.asarray(bilinear_sample(imgs, idx, coords))
         np.testing.assert_allclose(a, b, atol=1.1)
 
+    def test_twopass_overflow_tiles_redone(self, monkeypatch):
+        # a few tiles overflow pass A's (128, 256) window (row span ~140 >
+        # its 128-row capacity) but fit the (256, 384) overflow window:
+        # the two-pass path must redo exactly those tiles and match gather
+        import absolutetrack_tpu.ops.pallas_warp as pw
+        from absolutetrack_tpu.ops.pallas_warp import _plan_blocked as pb
+
+        monkeypatch.setattr(pw, "_TWOPASS_MIN_TILES", 0)
+        rng = np.random.default_rng(31)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([0, 1], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        y = 130.0 + gy[None] * 0.9 + rng.uniform(0, 1, (2, 96, 96))
+        x = 120 + gx[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
+        # one (16, 32) block of slot 0 sweeps 140 source rows internally
+        y[0, :16, :32] = 130.0 + (gx[:16, :32] % 2) * 140.0
+        xf = jnp.asarray(x.reshape(2, -1), jnp.float32)
+        yf = jnp.asarray(y.reshape(2, -1), jnp.float32)
+        plan = pb(xf, yf, 480, 636, 2, 96 * 96, (96, 96))
+        n_over = int(np.sum(~np.asarray(plan.fit_a)))
+        assert 0 < n_over <= 4  # the crafted block, not the whole call
+        assert bool(plan.all_fit)  # all tiles fit the overflow window
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
+    def test_twopass_budget_exceeded_falls_back(self, monkeypatch):
+        # more overflow tiles than the pass-B budget: the call must fall
+        # back to the single-window narrow kernel and stay correct
+        import absolutetrack_tpu.ops.pallas_warp as pw
+
+        monkeypatch.setattr(pw, "_OVERFLOW_BUDGET", 2)
+        monkeypatch.setattr(pw, "_TWOPASS_MIN_TILES", 0)
+        rng = np.random.default_rng(32)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([0, 1], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        # every block sweeps ~140 source rows: all tiles overflow pass A,
+        # all fit the (256, 384) window
+        y = 130.0 + (gx[None] % 2) * 140.0 + rng.uniform(0, 1, (2, 96, 96))
+        x = 120 + gx[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
+        plan = pw._plan_blocked(
+            jnp.asarray(x.reshape(2, -1), jnp.float32),
+            jnp.asarray(y.reshape(2, -1), jnp.float32),
+            480, 636, 2, 96 * 96, (96, 96),
+        )
+        assert int(np.sum(~np.asarray(plan.fit_a))) > 2
+        assert bool(plan.all_fit)
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            pw.bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
     def test_wide_cols_fall_back_to_banded(self):
         # narrow row bands but a >400-px column footprint per block: the
         # blocked narrow window cannot fit, the line-routed banded
