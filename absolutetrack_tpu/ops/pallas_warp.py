@@ -105,6 +105,13 @@ _BLK = (16, 32)
 _RBLK2 = 64  # pass-A row block; window = 2 * 64 = 128 rows
 _OVERFLOW_BUDGET = 192
 _TWOPASS_MIN_TILES = 2048  # below this the single narrow kernel is cheaper
+# (N, T) scalar-prefetch arrays live in SMEM (1 MB); N = 1024 slots blows
+# it (measured: XLA "Ran out of memory in memory space smem" at R=32
+# lockstep eval; N = 768 compiles and runs). Larger calls split into even
+# slabs of at most this many slots -- the source pad is CSE'd across
+# slabs, and per-slab dispatch means one slab's overflow doesn't divert
+# the others.
+_MAX_SLOTS = 768
 
 
 def _tile_contrib(x, y, window, base, cbase):
@@ -493,6 +500,20 @@ def bilinear_sample_mxu(
     cheap trace-time extent stats above.
     """
     n, p, _ = coords.shape
+    if n > _MAX_SLOTS:
+        n_slabs = -(-n // _MAX_SLOTS)
+        slab = -(-n // n_slabs)
+        outs = [
+            bilinear_sample_mxu(
+                images,
+                image_idx[i : i + slab],
+                coords[i : i + slab],
+                interpret=interpret,
+                crop_hw=crop_hw,
+            )
+            for i in range(0, n, slab)
+        ]
+        return jnp.concatenate(outs, axis=0)
     v, h, w = images.shape
     x = coords[..., 0].astype(jnp.float32)  # planar: no (N, P, 2) operand
     y = coords[..., 1].astype(jnp.float32)

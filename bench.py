@@ -17,10 +17,11 @@ so the measured baseline is faster than the real reference and
 with Pool(8); on this 2-vCPU host that caps at ~2x the single-process
 baseline, which vs_baseline does not credit -- also conservative.)
 
-Two numbers are produced: the headline aggregate throughput of 16
+Two numbers are produced: the headline aggregate throughput of 24
 recordings tracked in lockstep (the TPU analog of the reference's
-Pool(8) over sequences), and the single-recording sequential latency
-path. Prints one JSON line:
+Pool(8) over sequences; 24 is the measured throughput-optimal point --
+benchmarks/sweep_batched.py: R=16 6,352, R=24 6,464, R=32 6,010 f/s
+bf16), and the single-recording sequential latency path. Prints one JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
    "sequential_frames_per_s": N, ...}
 """
@@ -111,7 +112,7 @@ def bench_tpu(iters: int = 20, config=None) -> float:
     return 1.0 / dt
 
 
-def build_batched_step(num_recordings: int = 16, chunk: int = 8, config=None):
+def build_batched_step(num_recordings: int = 24, chunk: int = 8, config=None):
     """R recordings evaluated in lockstep: the TPU analog of the reference's
     Pool(8).map_async over sequences (run_eval_known_skeleton.py:116-119).
     Uses the pipelined eval dataflow (tracker/pipelined.py): crops come
@@ -175,7 +176,7 @@ def build_batched_step(num_recordings: int = 16, chunk: int = 8, config=None):
     return run_chunk, state, ja, wr, images_seq, chunk, r
 
 
-def bench_tpu_batched(iters: int = 10, num_recordings: int = 16, config=None) -> float:
+def bench_tpu_batched(iters: int = 10, num_recordings: int = 24, config=None) -> float:
     import jax
 
     run_chunk, state, ja, wr, images_seq, chunk, r = build_batched_step(
@@ -299,7 +300,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "tracked_frames_per_s_per_chip_4view_2hand_16seq",
+                "metric": "tracked_frames_per_s_per_chip_4view_2hand_24seq",
                 "value": round(batched_fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": None if vs is None else round(vs, 2),
@@ -310,7 +311,7 @@ def main():
                 "sequential_serving_bf16_frames_per_s": None
                 if seq_serving_fps is None
                 else round(seq_serving_fps, 2),
-                "recordings_in_lockstep": 16,
+                "recordings_in_lockstep": 24,
                 "baseline_torch_cpu_frames_per_s": None
                 if base_fps is None
                 else round(base_fps, 2),

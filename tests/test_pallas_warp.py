@@ -223,6 +223,28 @@ class TestOneHotMxuWarp:
         b = np.asarray(bilinear_sample(imgs, idx, coords))
         np.testing.assert_allclose(a, b, atol=1.1)
 
+    def test_slot_slabs_match_single_call(self, monkeypatch):
+        # calls above _MAX_SLOTS split into even slabs (the (N, T)
+        # scalar-prefetch arrays live in 1 MB SMEM and overflow at
+        # N = 1024); slabbed output must equal the oracle
+        import absolutetrack_tpu.ops.pallas_warp as pw
+
+        monkeypatch.setattr(pw, "_MAX_SLOTS", 3)
+        rng = np.random.default_rng(41)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
+        idx = jnp.asarray([1, 0, 0, 1], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        y = 100 + gy[None] * 2.0 + rng.uniform(0, 1, (4, 96, 96))
+        x = 200 + gx[None] * 2.5 + rng.uniform(0, 1, (4, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(4, -1), y.reshape(4, -1)], -1).astype(np.float32)
+        )
+        a = np.asarray(
+            pw.bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        np.testing.assert_allclose(a, b, atol=1.1)
+
     def test_rotated_mapping_without_hint_uses_covering(self):
         # the same rotated mapping WITHOUT crop_hw cannot be routed; the
         # call must divert to the covering kernel and stay correct
