@@ -427,9 +427,17 @@ def track_recordings_batched(
             live_counts[ri] = len(rec_frames)
             if last_frames[ri] is None:
                 if zeros_like_first is None:
+                    # only hit when a recording yields zero frames: derive
+                    # the frame shape from the rig, not a hardcoded size
+                    cam0 = labels_list[ri].cameras
                     zeros_like_first = np.zeros(
-                        (v, 480, 636), np.float32
-                    )  # pragma: no cover - only if rec 0 is empty
+                        (
+                            v,
+                            int(np.asarray(cam0.height).reshape(-1)[0]),
+                            int(np.asarray(cam0.width).reshape(-1)[0]),
+                        ),
+                        np.float32,
+                    )
                 last_frames[ri] = zeros_like_first
             pad = chunk_size - len(rec_frames)
             rec_frames.extend([last_frames[ri]] * pad)

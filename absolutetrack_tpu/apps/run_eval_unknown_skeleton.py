@@ -11,6 +11,15 @@ This build additionally supports a robust least-squares upgrade over the
 calibration window (--calib-mode lstsq): instead of the plain mean, solve
 argmin_s sum_t w_t (s - s_t)^2 with inlier reweighting (one Huber IRLS
 round) -- a windowed estimator the reference's simple mean approximates.
+
+Scope note on lstsq/gn: both refine the AGGREGATION of the network's
+per-frame scale predictions (lstsq reweights outlier frames; gn jointly
+fits one shared log-scale against FK targets built from the network's own
+pass-1 poses). They are self-referential by construction: a systematic
+scale bias in the network's predictions passes through unchanged, so
+these modes reduce calibration variance, never bias. Their accuracy value
+over the plain mean is unproven until real pretrained weights exist
+(random-init predictions carry no signal to aggregate).
 """
 
 from __future__ import annotations

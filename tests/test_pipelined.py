@@ -352,6 +352,68 @@ class TestPipelinedEval:
         b = run([2, 2, 1])
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
 
+    def test_serving_preset_drift_bounded_batched(self, setup):
+        """The bf16 serving preset must stay within its relative drift
+        budget on the BATCHED PIPELINED path too (the path bench.py's
+        serving headline actually runs), not just the bare trunk
+        (tests/test_models.py::TestServingPrecision). Same damped params,
+        same inputs, two compute dtypes."""
+        from absolutetrack_tpu.tracker.batched import BatchedTracker
+        from absolutetrack_tpu.tracker.pipelined import track_chunk_eval_batched
+
+        labels, model, images, cam_seq, ja_seq, wr_seq, conf_seq = setup
+        rng = np.random.default_rng(7)
+        r = 2
+        offs = [100, 220]
+        v = labels.num_views
+        images_b = jnp.asarray(
+            rng.uniform(0, 255, (F, r, v, 480, 636)).astype(np.float32)
+        )
+        stk = lambda a: jnp.stack(
+            [jnp.asarray(a[o : o + F]) for o in offs], axis=1
+        )
+        cam_b = stk(labels.camera_to_world)
+        ja_b = stk(labels.joint_angles)
+        wr_b = stk(labels.wrist_transforms)
+        conf_b = stk(labels.hand_confidences)
+        cams_r = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (r,) + x.shape), labels.cameras
+        )
+        angles_r = jnp.broadcast_to(jnp.asarray(labels.camera_angles), (r, v))
+        hand_r = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (r,) + x.shape), labels.hand_model
+        )
+
+        def run(cfg):
+            m = UmeTrackModel(model.params, cfg)
+            bt = BatchedTracker(m, OPTS)
+            return jax.jit(
+                lambda s: track_chunk_eval_batched(
+                    m, OPTS, s, images_b, cams_r, cam_b, angles_r, hand_r,
+                    ja_b, wr_b, conf_b,
+                )
+            )(bt.init_state(r))
+
+        st32, res32 = run(ModelConfig(input_size=(32, 32)))
+        st16, res16 = run(ModelConfig.serving(input_size=(32, 32)))
+
+        np.testing.assert_array_equal(
+            np.asarray(res32.hand_valid), np.asarray(res16.hand_valid)
+        )
+        assert res16.wrist_xfs.dtype == jnp.float32
+        assert st16.temporal.mem_features.dtype == st32.temporal.mem_features.dtype
+        t32 = np.asarray(res32.wrist_xfs[..., :3, 3])
+        t16 = np.asarray(res16.wrist_xfs[..., :3, 3])
+        scale_t = np.abs(t32).max()
+        # same 1% relative budget as the trunk test: at real-weight scale
+        # (~0.3 m wrists) this is 3 mm
+        assert np.abs(t32 - t16).max() < 0.01 * scale_t, (
+            np.abs(t32 - t16).max(), scale_t
+        )
+        a32 = np.asarray(res32.joint_angles)
+        a16 = np.asarray(res16.joint_angles)
+        assert np.abs(a32 - a16).max() < 0.02 * max(np.abs(a32).max(), 1.0)
+
     def test_calibrate_scale_branch(self, setup):
         labels, model, images, cam_seq, ja_seq, wr_seq, conf_seq = setup
         st_a, outs = _sequential(
