@@ -92,6 +92,12 @@ class VideoFrameSource:
     """
 
     def __init__(self, path: str, num_views: int):
+        import os
+
+        if not os.path.exists(path):
+            # fail loudly here: cv2.VideoCapture on a missing path yields an
+            # empty stream, which would silently produce empty eval results
+            raise FileNotFoundError(path)
         self.path = path
         self.num_views = num_views
 
@@ -110,6 +116,9 @@ class VideoFrameSource:
         import cv2  # type: ignore
 
         cap = cv2.VideoCapture(self.path)
+        if not cap.isOpened():
+            cap.release()
+            raise IOError(f"cv2 cannot decode {self.path}")
         try:
             while True:
                 ok, raw = cap.read()
