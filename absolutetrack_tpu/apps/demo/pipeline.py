@@ -89,24 +89,31 @@ class LiveTracker:
         self.state = self.tracker.init_state()
         self.hand_model_mm = hand_model_mm
 
-        def step(state, images, kp, valid):
-            return self.tracker.track_frame_from_2d(
-                state, images, self.cameras, self.hand_model_mm, kp, valid
-            )
-
-        self._step = jax.jit(step)
-
-        # FK for the output keypoints
+        # FK fuses INTO the tracking step and the result packs into ONE
+        # array: over a remote-tunnel device every blocking transfer pays a
+        # full round trip (~24 ms RTT measured on this box), so the frame
+        # loop is one uint8 image upload + one (2, 64) readback instead of
+        # an f32 upload (4x the bytes) + three separate readbacks
         from ...kinematics.skinning import landmarks_from_hand_pose
 
         hand_b = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (2,) + x.shape), hand_model_mm
         )
-        self._fk = jax.jit(
-            lambda ja, wr: landmarks_from_hand_pose(
-                hand_b, ja, wr, jnp.arange(2)
+
+        def step(state, images, kp, valid):
+            state, res = self.tracker.track_frame_from_2d(
+                state, images, self.cameras, self.hand_model_mm, kp, valid
             )
-        )
+            lm = landmarks_from_hand_pose(
+                hand_b, res.joint_angles, res.wrist_xfs, jnp.arange(2)
+            )  # (2, 21, 3) world mm
+            packed = jnp.concatenate(
+                [res.hand_valid.astype(jnp.float32)[:, None], lm.reshape(2, 63)],
+                axis=1,
+            )  # (2, 64): [valid, landmarks]
+            return state, packed
+
+        self._step = jax.jit(step)
 
     def reset(self):
         self.state = self.tracker.init_state()
@@ -115,19 +122,19 @@ class LiveTracker:
         self, mono_views: np.ndarray, keypoints_2d: np.ndarray, valid: np.ndarray
     ) -> Dict[int, np.ndarray]:
         jnp = self.jnp
-        self.state, res = self._step(
+        # uint8 frames transfer as-is (4x less tunnel traffic than f32; the
+        # warp kernels sample uint8 sources natively)
+        self.state, packed = self._step(
             self.state,
-            jnp.asarray(mono_views, jnp.float32),
+            np.ascontiguousarray(mono_views),
             jnp.asarray(keypoints_2d),
             jnp.asarray(valid),
         )
+        packed = np.asarray(packed)  # the frame's single blocking readback
         out: Dict[int, np.ndarray] = {}
-        hv = np.asarray(res.hand_valid)
-        if hv.any():
-            lm = np.asarray(self._fk(res.joint_angles, res.wrist_xfs))
-            for h in range(2):
-                if hv[h]:
-                    out[h] = lm[h]
+        for h in range(2):
+            if packed[h, 0] > 0.5:
+                out[h] = packed[h, 1:].reshape(21, 3)
         return out
 
     def project_to_views(self, keypoints: Dict[int, np.ndarray]):
@@ -135,14 +142,19 @@ class LiveTracker:
         import jax.numpy as jnp
 
         out: Dict[int, Dict[int, np.ndarray]] = {0: {}, 1: {}}
-        for hand_idx, lm in keypoints.items():
-            win = np.asarray(
-                cam.world_to_window(
-                    self.cameras, jnp.asarray(lm)[None], cam.FISHEYE62
-                )
+        if not keypoints:
+            return out
+        # one dispatch + one readback for ALL hands (not one per hand)
+        hands = sorted(keypoints)
+        lm = np.stack([keypoints[h] for h in hands])  # (H, 21, 3)
+        win = np.asarray(
+            cam.world_to_window(
+                self.cameras, jnp.asarray(lm)[:, None], cam.FISHEYE62
             )
-            for vi in range(win.shape[0]):
-                out[vi][hand_idx] = win[vi]
+        )  # (H, V, 21, 2)
+        for hi, hand_idx in enumerate(hands):
+            for vi in range(win.shape[1]):
+                out[vi][hand_idx] = win[hi, vi]
         return out
 
 

@@ -96,6 +96,19 @@ def gn_window_scale(generic, calib, hand_idx: int) -> float | None:
     return float(np.exp(np.asarray(res.log_scale)))
 
 
+def calibrated_scale_from(calib, generic, calib_mode: str) -> float:
+    """Aggregate one recording's pass-1 scale predictions into the user
+    scale (mean / Huber-lstsq / windowed-GN, see module docstring)."""
+    mask = calib.valid_tracking
+    if calib_mode == "gn":
+        gn_scales = [
+            s for s in (gn_window_scale(generic, calib, h) for h in range(2))
+            if s is not None
+        ]
+        return float(np.mean(gn_scales)) if gn_scales else 1.0
+    return robust_scale(calib.predicted_scales[mask], calib_mode)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input-dir", default="/root/reference/sample_data")
@@ -116,6 +129,17 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--override", action="store_true")
+    ap.add_argument(
+        "--batch-recordings", type=int, default=1,
+        help="run both passes over N sequences in lockstep per dispatch "
+        "(the TPU analog of the reference's Pool(8) over this protocol, "
+        "run_eval_unknown_skeleton.py:160-168)",
+    )
+    ap.add_argument(
+        "--mesh-data", type=int, default=1,
+        help="shard the lockstep recordings over a 'data' mesh of this many "
+        "devices (SPMD eval; batch-recordings must divide by it)",
+    )
     args = ap.parse_args(argv)
 
     from ..kinematics.hand_model import load_hand_model_json
@@ -130,48 +154,8 @@ def main(argv=None):
     model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
 
     errors = []
-    for lf in label_files:
-        rel = os.path.relpath(lf, args.input_dir)[:-5]
-        out_path = os.path.join(args.output_dir, rel + ".npy")
-        if not args.override and os.path.exists(out_path):
-            print(f"skip {rel} (exists)")
-            continue
-        labels = load_labels(lf)
 
-        # pass 1: calibrate on the first frames (stereo required)
-        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
-        calib = eval_lib.track_recording(
-            model,
-            labels,
-            frames,
-            hand_model_mm=generic,
-            calibrate_scale=True,
-            max_frames=CALIB_FRAMES,
-        )
-        mask = calib.valid_tracking
-        if args.calib_mode == "gn":
-            gn_scales = [
-                s for s in (gn_window_scale(generic, calib, h) for h in range(2))
-                if s is not None
-            ]
-            user_scale = float(np.mean(gn_scales)) if gn_scales else 1.0
-        else:
-            valid_scales = calib.predicted_scales[mask]
-            user_scale = robust_scale(valid_scales, args.calib_mode)
-        calibrated = scaled_hand_model(generic, user_scale)
-        print(f"{rel}: calibrated scale {user_scale:.4f} "
-              f"({mask.sum()} calib frames)")
-
-        # pass 2: fresh tracker state, known-skeleton tracking
-        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
-        res = eval_lib.track_recording(
-            model,
-            labels,
-            frames,
-            hand_model_mm=calibrated,
-            min_num_crops=1,
-            max_frames=args.max_frames,
-        )
+    def save_result(rel, out_path, res, user_scale):
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "wb") as f:
             pickle.dump(
@@ -188,6 +172,80 @@ def main(argv=None):
         ).mean(-1)
         errors.append(err)
         print(f"{rel}: mean keypoint error {err.mean():.2f} mm")
+
+    pending = []
+    for lf in label_files:
+        rel = os.path.relpath(lf, args.input_dir)[:-5]
+        out_path = os.path.join(args.output_dir, rel + ".npy")
+        if not args.override and os.path.exists(out_path):
+            print(f"skip {rel} (exists)")
+            continue
+        pending.append((lf, rel, out_path))
+
+    b = max(1, args.batch_recordings)
+    for i in range(0, len(pending), b):
+        group = pending[i : i + b]
+        if len(group) == 1 or b == 1:
+            for lf, rel, out_path in group:
+                labels = load_labels(lf)
+
+                # pass 1: calibrate on the first frames (stereo required)
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                calib = eval_lib.track_recording(
+                    model, labels, frames, hand_model_mm=generic,
+                    calibrate_scale=True, max_frames=CALIB_FRAMES,
+                )
+                user_scale = calibrated_scale_from(calib, generic, args.calib_mode)
+                print(f"{rel}: calibrated scale {user_scale:.4f} "
+                      f"({calib.valid_tracking.sum()} calib frames)")
+
+                # pass 2: fresh tracker state, known-skeleton tracking
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                res = eval_lib.track_recording(
+                    model, labels, frames,
+                    hand_model_mm=scaled_hand_model(generic, user_scale),
+                    min_num_crops=1, max_frames=args.max_frames,
+                )
+                save_result(rel, out_path, res, user_scale)
+        else:
+            # lockstep two-pass over the group (reference Pool analog)
+            mesh = None
+            if args.mesh_data > 1:
+                from absolutetrack_tpu.parallel import make_mesh
+
+                mesh = make_mesh(data=args.mesh_data, model=1)
+            labels_list = [load_labels(lf) for lf, _rel, _out in group]
+
+            # pass 1 batched: every recording calibrates on the generic
+            # skeleton (scale-prediction branch, stereo-gated)
+            recs = [
+                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4"))
+                for lab, (lf, _r, _o) in zip(labels_list, group)
+            ]
+            calibs = eval_lib.track_recordings_batched(
+                model, recs, hand_models_mm=[generic] * len(group),
+                calibrate_scale=True, max_frames=CALIB_FRAMES, mesh=mesh,
+            )
+            scales = [
+                calibrated_scale_from(c, generic, args.calib_mode)
+                for c in calibs
+            ]
+            for (lf, rel, _out), c, s in zip(group, calibs, scales):
+                print(f"{rel}: calibrated scale {s:.4f} "
+                      f"({c.valid_tracking.sum()} calib frames)")
+
+            # pass 2 batched: fresh state, per-recording calibrated skeleton
+            recs = [
+                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4"))
+                for lab, (lf, _r, _o) in zip(labels_list, group)
+            ]
+            results = eval_lib.track_recordings_batched(
+                model, recs,
+                hand_models_mm=[scaled_hand_model(generic, s) for s in scales],
+                min_num_crops=1, max_frames=args.max_frames, mesh=mesh,
+            )
+            for (lf, rel, out_path), res, s in zip(group, results, scales):
+                save_result(rel, out_path, res, s)
 
     if errors:
         print(f"Final mean error: {np.concatenate(errors).mean():.3f} mm")

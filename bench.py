@@ -193,6 +193,200 @@ def bench_tpu_batched(iters: int = 10, num_recordings: int = 24, config=None) ->
     return iters * chunk * r / dt
 
 
+def bench_live_latency(config=None, frames: int = 150):
+    """TRUE live per-frame latency: ONE track_frame dispatch per frame,
+    including the uint8 host->device image transfer and the landmark
+    readback to host (exactly what the live demo's loop experiences --
+    apps/demo/pipeline.py LiveTracker; the chunked sequential bench
+    amortizes dispatch 16x and hides this number).
+
+    Uses the tunnel-optimal loop shape (measured on this box -- see
+    ROUND3_NOTES.md): pose feedback stays on device, FK fuses into the
+    step, and ALL outputs pack into one (2, 64) array so the frame pays
+    exactly one upload + one readback (every extra blocking transfer
+    costs a full ~24 ms tunnel round trip here).
+
+    Returns (p50_ms, p99_ms, mean_ms, anatomy) where anatomy carries the
+    measured transport floors: {"scalar_rtt_ms", "image_transfer_ms"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from absolutetrack_tpu.utils.runtime import enable_compilation_cache, on_cpu
+    enable_compilation_cache()
+
+    from absolutetrack_tpu.kinematics.skinning import landmarks_from_hand_pose
+    from absolutetrack_tpu.models import ModelConfig, UmeTrackModel, init_umetrack_params
+    from absolutetrack_tpu.tracker import HandTracker, TrackerConfig
+    from absolutetrack_tpu.tracker.video_data import load_labels
+
+    labels = load_labels("/root/reference/sample_data/user05/recording_00.json")
+    cfg = ModelConfig() if config is None else config
+    with on_cpu():
+        params = init_umetrack_params(jax.random.PRNGKey(0), cfg)
+    model = UmeTrackModel(params, cfg)
+    tracker = HandTracker(model, TrackerConfig())
+
+    t0 = 100
+    cams = labels.cameras_at(t0)
+    angles = jnp.asarray(labels.camera_angles)
+    hand = labels.hand_model
+    conf = jnp.asarray(labels.hand_confidences[t0])
+    hand_b = __import__("jax").tree.map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape), hand
+    )
+
+    @jax.jit
+    def step(state, images, ja, wr):
+        state, res = tracker.track_frame(
+            state, images, cams, angles, hand, ja, wr, conf
+        )
+        # device-side pose feedback (no host round trip in the loop)
+        ja_n = jnp.where(res.hand_valid[:, None], res.joint_angles, ja)
+        wr_n = jnp.where(res.hand_valid[:, None, None], res.wrist_xfs, wr)
+        lm = landmarks_from_hand_pose(hand_b, ja_n, wr_n, jnp.arange(2))
+        packed = jnp.concatenate(
+            [res.hand_valid.astype(jnp.float32)[:, None], lm.reshape(2, 63)],
+            axis=1,
+        )  # (2, 64): the frame's single readback payload
+        return state, ja_n, wr_n, packed
+
+    rng = np.random.default_rng(0)
+    # a rotating pool of distinct host frames: every dispatch pays a real
+    # uint8 host->device image transfer (no device-side caching)
+    pool = [
+        rng.integers(0, 256, (labels.num_views, 480, 636), dtype=np.uint8)
+        for _ in range(8)
+    ]
+    ja = jnp.asarray(labels.joint_angles[t0])
+    wr = jnp.asarray(labels.wrist_transforms[t0])
+
+    state = tracker.init_state()
+    # warmup/compile
+    state0, ja0, wr0, packed = step(state, pool[0], ja, wr)
+    np.asarray(packed)
+
+    lat = []
+    state, ja_t, wr_t = state0, ja0, wr0
+    for i in range(frames):
+        t_start = time.perf_counter()
+        state, ja_t, wr_t, packed = step(state, pool[i % len(pool)], ja_t, wr_t)
+        _ = np.asarray(packed)  # single blocking readback
+        lat.append((time.perf_counter() - t_start) * 1e3)
+    lat = np.asarray(lat)
+
+    # transport anatomy: the tunnel's per-transfer floors, so the latency
+    # number is auditable (device compute is ~0.4 ms of the total here)
+    dev = jax.devices()[0]
+    f_id = jax.jit(lambda x: x + 1)
+    zero = jnp.zeros(())
+    np.asarray(f_id(zero))
+    t1 = time.perf_counter()
+    for _ in range(30):
+        np.asarray(f_id(zero))
+    scalar_rtt = (time.perf_counter() - t1) / 30 * 1e3
+    jax.block_until_ready(jax.device_put(pool[0], dev))
+    t2 = time.perf_counter()
+    for i in range(30):
+        jax.block_until_ready(jax.device_put(pool[i % len(pool)], dev))
+    img_ms = (time.perf_counter() - t2) / 30 * 1e3
+    anatomy = {"scalar_rtt_ms": scalar_rtt, "image_transfer_ms": img_ms}
+    return (
+        float(np.percentile(lat, 50)),
+        float(np.percentile(lat, 99)),
+        float(lat.mean()),
+        anatomy,
+    )
+
+
+# bf16 peak TFLOP/s per chip by device kind (public spec sheets); used only
+# to turn measured model FLOP/s into an MFU percentage for the bench JSON
+_PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def profile_batched_step(config=None, iters: int = 3, num_recordings: int = 24):
+    """Device-time + roofline stats for the batched serving step.
+
+    Runs ``iters`` batched dispatches under jax.profiler.trace and parses
+    the trace leaf-attributed (benchmarks/parse_trace.self_time_summary).
+    Returns a dict: device_ms_per_frame, warp_share (Pallas warp kernels'
+    fraction of leaf device time), model_tflops_per_s and mfu_pct (XLA
+    cost-analysis FLOPs over measured device time vs the chip's bf16
+    peak), or partial info if a stage is unavailable.
+    """
+    import glob
+    import shutil
+
+    import jax
+
+    sys.path.insert(0, "benchmarks")
+    from parse_trace import self_time_summary
+
+    run_chunk, state, ja, wr, images_seq, chunk, r = build_batched_step(
+        num_recordings, config=config
+    )
+    s, res = run_chunk(state, ja, wr, images_seq)  # compile
+    jax.block_until_ready(res)
+
+    flops_per_dispatch = None
+    try:
+        compiled = run_chunk.lower(state, ja, wr, images_seq).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_dispatch = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
+    log_dir = "tmp/trace_bench"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    with jax.profiler.trace(log_dir):
+        for _ in range(iters):
+            s, res = run_chunk(s, ja, wr, images_seq)
+        jax.block_until_ready(res)
+    wall_ms = (time.perf_counter() - t0) * 1e3 / iters
+
+    out = {"frames_per_dispatch": chunk * r}
+    try:
+        summ = self_time_summary(log_dir, iters=iters)
+        frames = chunk * r
+        out["device_ms_per_frame"] = summ["total_ms"] / frames
+        # the Pallas warp kernels carry their source file in the trace op
+        # metadata (ops/pallas_warp.py) and lower as pallas_call custom
+        # calls; LAPACK-style custom calls (slogdet LU etc.) do not match
+        warp_ms = sum(
+            ms
+            for name, ms, ident in summ["ops"]
+            if "pallas_warp" in ident or "pallas_call" in ident
+        )
+        out["warp_share"] = warp_ms / max(summ["total_ms"], 1e-9)
+        out["device_total_ms_per_dispatch"] = summ["total_ms"]
+        out["wall_ms_per_dispatch"] = wall_ms
+        if flops_per_dispatch:
+            dev_s = summ["total_ms"] / 1e3
+            tflops = flops_per_dispatch / dev_s / 1e12
+            out["model_tflops_per_s"] = tflops
+            kind = jax.devices()[0].device_kind
+            peak = next(
+                (v for k, v in _PEAK_BF16_TFLOPS.items() if k in kind), None
+            )
+            out["device_kind"] = kind
+            if peak:
+                out["mfu_pct"] = 100.0 * tflops / peak
+    except Exception as e:  # noqa: BLE001
+        print(f"trace parse failed: {e}", file=sys.stderr)
+    return out
+
+
 def bench_torch_cpu(iters: int = 10) -> float:
     """Reference-equivalent per-frame CPU cost: cv2 warps + torch forward."""
     import cv2
@@ -280,6 +474,8 @@ def main():
                 continue
             raise
     seq_serving_fps = None
+    live_lat = None
+    prof = {}
     try:
         # the supported fast-serving preset (bf16 conv trunk, f32 geometry;
         # drift vs the parity trunk pinned in tests/test_models.py)
@@ -291,6 +487,20 @@ def main():
         seq_serving_fps = bench_tpu(config=ModelConfig.serving())
     except Exception as e:  # noqa: BLE001
         print(f"serving bench failed: {e}", file=sys.stderr)
+    try:
+        # TRUE live latency: one dispatch per frame incl. image transfer
+        # and pose readback (what the camera loop experiences)
+        from absolutetrack_tpu.models import ModelConfig
+
+        live_lat = bench_live_latency(config=ModelConfig.serving())
+    except Exception as e:  # noqa: BLE001
+        print(f"live latency bench failed: {e}", file=sys.stderr)
+    try:
+        from absolutetrack_tpu.models import ModelConfig
+
+        prof = profile_batched_step(config=ModelConfig.serving())
+    except Exception as e:  # noqa: BLE001
+        print(f"profile stats failed: {e}", file=sys.stderr)
     try:
         base_fps = bench_torch_cpu()
         vs = batched_fps / base_fps
@@ -315,6 +525,39 @@ def main():
                 "baseline_torch_cpu_frames_per_s": None
                 if base_fps is None
                 else round(base_fps, 2),
+                "live_ms_per_frame_p50": None
+                if live_lat is None
+                else round(live_lat[0], 3),
+                "live_ms_per_frame_p99": None
+                if live_lat is None
+                else round(live_lat[1], 3),
+                "live_ms_per_frame_mean": None
+                if live_lat is None
+                else round(live_lat[2], 3),
+                # transport floors: over this box's network tunnel a single
+                # blocking transfer costs a full RTT and the 1.2 MB uint8
+                # frame upload is bandwidth-bound; on a locally attached
+                # TPU both are ~0.1 ms and live latency collapses to
+                # device compute + dispatch
+                "live_scalar_rtt_ms": None
+                if live_lat is None
+                else round(live_lat[3]["scalar_rtt_ms"], 3),
+                "live_image_transfer_ms": None
+                if live_lat is None
+                else round(live_lat[3]["image_transfer_ms"], 3),
+                "device_ms_per_frame": None
+                if "device_ms_per_frame" not in prof
+                else round(prof["device_ms_per_frame"], 4),
+                "warp_share": None
+                if "warp_share" not in prof
+                else round(prof["warp_share"], 3),
+                "model_tflops_per_s": None
+                if "model_tflops_per_s" not in prof
+                else round(prof["model_tflops_per_s"], 2),
+                "mfu_pct": None
+                if "mfu_pct" not in prof
+                else round(prof["mfu_pct"], 2),
+                "device_kind": prof.get("device_kind"),
             }
         )
     )

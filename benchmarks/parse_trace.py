@@ -70,12 +70,11 @@ def _device_op_events(events):
     return ops, mods
 
 
-def self_time_report(events, path, args):
-    """Leaf-attributed (self-time) per-op report: nested events (cond
-    branches, while bodies) get their children's time subtracted, so the
-    totals add up to the module's device occupancy instead of
-    double-counting."""
-    ops, mods = _device_op_events(events)
+def _self_times(ops):
+    """Leaf-attributed self-time per op: nested events (cond branches,
+    while bodies) get their children's time subtracted, so totals add up
+    to module device occupancy without double counting.
+    Returns (self_time_us Counter, counts Counter, meta dict)."""
     stack = []
     self_time = collections.Counter()
     counts = collections.Counter()
@@ -90,6 +89,42 @@ def self_time_report(events, path, args):
         counts[name] += 1
         meta.setdefault(name, e.get("args", {}))
         stack.append((ts, dur, name))
+    return self_time, counts, meta
+
+
+def self_time_summary(log_dir: str, iters: int = 1):
+    """Importable summary for bench.py: leaf-attributed device time from
+    the newest trace under ``log_dir``.
+
+    Returns a dict with ``total_ms`` (per iter), ``module_ms`` (device
+    occupancy per iter from the XLA Modules lane), and ``ops``: a list of
+    (op_name, ms_per_iter, long_name) sorted descending.
+    """
+    path = find_trace(log_dir)
+    events = load_events(path)
+    ops, mods = _device_op_events(events)
+    self_time, _counts, meta = _self_times(ops)
+    total_ms = sum(self_time.values()) / 1e3 / iters
+    module_ms = sum(m["dur"] for m in mods) / 1e3 / iters
+    rows = [
+        (
+            name,
+            t / 1e3 / iters,
+            " | ".join(
+                str(meta[name].get(k, ""))
+                for k in ("long_name", "tf_op", "source")
+            ),
+        )
+        for name, t in self_time.most_common()
+    ]
+    return {"total_ms": total_ms, "module_ms": module_ms, "ops": rows,
+            "trace": path}
+
+
+def self_time_report(events, path, args):
+    """Printed leaf-attributed per-op report (see _self_times)."""
+    ops, mods = _device_op_events(events)
+    self_time, counts, meta = _self_times(ops)
     total = sum(self_time.values()) / 1e3
     print(f"trace: {path}")
     if mods:

@@ -101,3 +101,73 @@ class TestBatchedEquivalence:
             assert r.predicted_scales is not None
             assert r.predicted_scales.shape == (2, len(lab))
             assert np.isfinite(r.predicted_scales[r.valid_tracking]).all()
+
+
+class TestBatchedUnknownSkeletonTwoPass:
+    """The full unknown-skeleton protocol (pass-1 scale calibration on the
+    generic skeleton, then pass-2 retracking with the calibrated skeleton)
+    run in LOCKSTEP must match running it sequentially per recording —
+    the path run_eval_unknown_skeleton's --batch-recordings takes
+    (reference parallelizes this protocol with Pool(8),
+    run_eval_unknown_skeleton.py:160-168)."""
+
+    def test_batched_two_pass_matches_sequential(self, model, recordings):
+        from absolutetrack_tpu.apps.run_eval_unknown_skeleton import (
+            calibrated_scale_from,
+        )
+        from absolutetrack_tpu.kinematics.hand_model import (
+            load_hand_model_json,
+            scaled_hand_model,
+        )
+
+        generic = load_hand_model_json(
+            "/root/reference/dataset/generic_hand_model.json"
+        )
+        calib_frames = 3
+
+        # --- sequential two-pass per recording
+        seq_scales, seq_results = [], []
+        for lab, frames in recordings:
+            calib = eval_lib.track_recording(
+                model, lab, iter(frames), hand_model_mm=generic,
+                calibrate_scale=True, max_frames=calib_frames,
+                pipelined=False,
+            )
+            s = calibrated_scale_from(calib, generic, "mean")
+            seq_scales.append(s)
+            seq_results.append(
+                eval_lib.track_recording(
+                    model, lab, iter(frames),
+                    hand_model_mm=scaled_hand_model(generic, s),
+                    min_num_crops=1, pipelined=False,
+                )
+            )
+
+        # --- lockstep two-pass (the --batch-recordings dataflow)
+        calibs = eval_lib.track_recordings_batched(
+            model, [(lab, iter(fr)) for lab, fr in recordings],
+            hand_models_mm=[generic] * len(recordings),
+            calibrate_scale=True, max_frames=calib_frames, pipelined=False,
+        )
+        bat_scales = [
+            calibrated_scale_from(c, generic, "mean") for c in calibs
+        ]
+        results = eval_lib.track_recordings_batched(
+            model, [(lab, iter(fr)) for lab, fr in recordings],
+            hand_models_mm=[
+                scaled_hand_model(generic, s) for s in bat_scales
+            ],
+            min_num_crops=1, pipelined=False,
+        )
+
+        np.testing.assert_allclose(bat_scales, seq_scales, rtol=1e-4)
+        for sres, bres in zip(seq_results, results):
+            np.testing.assert_array_equal(
+                bres.valid_tracking, sres.valid_tracking
+            )
+            m = sres.valid_tracking
+            np.testing.assert_allclose(
+                bres.tracked_keypoints[m], sres.tracked_keypoints[m],
+                rtol=1e-4, atol=5e-3,  # mm; conv batch reduction reorder
+            )
+            np.testing.assert_array_equal(bres.gt_keypoints, sres.gt_keypoints)
