@@ -338,12 +338,17 @@ def track_recordings_batched(
         from ..tracker.pipelined import track_chunk_eval_batched
 
         @jax.jit
-        def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
-            images_c = images_c.astype(jnp.float32)
+        def run_chunk(state, images_rm, cam_c, ja_c, wr_c, conf_c):
+            # images arrive RECORDING-major (R, chunk, V, H, W): the host
+            # assembles them per recording anyway, and the pipelined
+            # phase-A flatten is then a free reshape instead of a device
+            # transpose of the whole uint8 chunk
+            images_rm = images_rm.astype(jnp.float32)
             return track_chunk_eval_batched(
-                model, opts, state, images_c, base_cams, cam_c, camera_angles,
+                model, opts, state, images_rm, base_cams, cam_c, camera_angles,
                 hand_stack, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
                 src_kind=src_kind, calibrate_scale=calibrate_scale,
+                images_rec_major=True,
             )
 
     else:
@@ -442,7 +447,10 @@ def track_recordings_batched(
             pad = chunk_size - len(rec_frames)
             rec_frames.extend([last_frames[ri]] * pad)
             imgs.append(np.stack(rec_frames))
-        images_c = np.moveaxis(np.stack(imgs), 0, 1)  # (chunk, R, V, H, W)
+        if pipelined:
+            images_c = np.stack(imgs)  # (R, chunk, V, H, W) rec-major
+        else:
+            images_c = np.moveaxis(np.stack(imgs), 0, 1)  # (chunk, R, ...)
 
         # label arrays by fancy indexing (no per-frame python loop)
         ts = t + np.arange(chunk_size)  # (chunk,)
@@ -475,8 +483,10 @@ def track_recordings_batched(
 
         ja_dev = _shard1(ja_c)
         wr_dev = _shard1(wr_c)
+        # rec-major images shard on their leading (recording) axis
+        img_shard = _shard0 if (mesh is not None and pipelined) else _shard1
         state, res = run_chunk(
-            state, _shard1(images_c), _shard1(cams_c), ja_dev, wr_dev,
+            state, img_shard(images_c), _shard1(cams_c), ja_dev, wr_dev,
             _shard1(conf_c.astype(np.float32)),
         )
         pending.append(

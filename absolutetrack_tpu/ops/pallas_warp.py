@@ -16,16 +16,18 @@ the tile's source footprint is. Three enumerations, chosen per call:
   ~quarter-size patch of the crop's footprint in BOTH axes (measured on
   the sample recordings: row spans <= 196, col spans <= 184, vs 431-col
   footprints for whole crop rows; median 30 rows x 59 cols). Runs as TWO
-  passes: pass A grids over SLOTS and loops each slot's tiles with a
-  manually double-buffered single-DMA (128, 256) window per tile (1/3 of
-  the single-window MACs; fits 99.8% of real tiles; the slot-grid manual
-  DMA measured 13% faster than the equivalent BlockSpec grid because the
-  per-grid-step fixed cost amortizes over T tiles and each window is one
-  copy instead of four block DMAs). An overflow pass then walks a
-  fixed-budget prefetched list of the tiles that missed and redoes just
-  those at the full (256, 384) window; a per-tile select merges. Falls
-  back to the single (256, 384)-window kernel when the overflow list
-  overflows ITS budget.
+  passes: pass A grids over SLOTS and loops each slot's tile PAIRS with
+  a manually double-buffered single-DMA (256, 384) window per pair
+  (halves the loop steps + DMA issues vs per-tile windows and doubles
+  the matmul M to 1024 -- measured 6% faster at an unchanged fit rate:
+  99.98% of real-pose pairs fit, benchmarks/warp_pair_stats.py; the
+  slot-grid manual DMA itself measured 13% faster than the equivalent
+  BlockSpec grid because the per-grid-step fixed cost amortizes over the
+  slot's tiles and each window is one copy instead of four block DMAs).
+  An overflow pass then walks a fixed-budget prefetched list of the
+  tiles whose pair missed and redoes just those at per-tile (256, 384)
+  windows; a per-tile select merges. Falls back to the single
+  (256, 384)-window kernel when the overflow list overflows ITS budget.
 * LINE-major (fallback): rotated slots enumerate the crop column-major,
   upright ones row-major (the rig's cameras are rolled 0/90/90/180 deg --
   reference video_pose_data.py:23-93 -- and the crop look-at applies that
@@ -98,11 +100,19 @@ _CBLK = 128  # col block width (the lane-dim tile)
 _NCOL = 3  # narrow path: col window = _NCOL * _CBLK = 384 columns
 # blocked enumeration: tiles are (16, 32) or (32, 16) crop-pixel blocks
 _BLK = (16, 32)
-# two-pass path: pass A contracts a (128, 256) window (64-aligned rows,
-# 128-aligned cols) -- 1/3 of the narrow window's MACs; the few tiles that
-# overflow it (~0.2% on real poses) are redone by a prefetch-indexed
-# overflow pass with the full (256, 384) window, up to this many per call
-_RBLK2 = 64  # pass-A row block; window = 2 * 64 = 128 rows
+# two-pass path: pass A processes consecutive tile PAIRS, each pair
+# contracting one shared (256, 384) window (64-aligned rows, 128-aligned
+# cols). Pairing halves the loop steps and DMA issues per slot and doubles
+# the matmul M to 1024 (better MXU utilization) -- measured 6% faster than
+# the per-tile (128, 256) window formulation at the same fit rate
+# (benchmarks/warp_kernel_sweep.py), and the pair-union footprint fits the
+# window for 99.98% of real-pose tiles (benchmarks/warp_pair_stats.py; the
+# single-tile small window fit 99.94%). Tiles of a pair that overflows are
+# redone by the prefetch-indexed overflow pass at per-tile (256, 384)
+# windows, up to this many per call.
+_RBLK2 = 64  # pass-A row-placement granule (64-aligned starts)
+_PAIR_ROWS = 256  # pass-A pair window rows
+_PAIR_COLS = 384  # pass-A pair window cols
 _OVERFLOW_BUDGET = 192
 _TWOPASS_MIN_TILES = 2048  # below this the single narrow kernel is cheaper
 # (N, T) scalar-prefetch arrays live in SMEM (1 MB); N = 1024 slots blows
@@ -184,35 +194,35 @@ def _narrow_warp_kernel(
 
 
 def _fused_warp_kernel(kref, cref, sref, src_hbm, xy_ref, out_ref, wbuf, sems):
-    """Pass A: one grid step per SLOT; internal tile loop with manual
+    """Pass A: one grid step per SLOT; internal PAIR loop with manual
     double-buffered window DMA.
 
-    Each tile contracts a (128, 256) window (rows 64-aligned, cols
-    128-aligned) fetched as ONE dynamic-slice async copy from the
-    unblocked source -- vs a grid step + 4 block DMAs per tile with
-    BlockSpec pipelining. Amortizing the per-grid-step fixed cost over
-    the slot's T tiles and quartering the DMA issues measured 13% faster
-    end-to-end than the BlockSpec formulation (which itself beat the
-    single-window kernel). Tiles whose footprint overflows this window
-    write garbage here and are redone by the overflow pass; the caller
-    selects per tile.
+    Each loop step processes TWO consecutive tiles (1024 px) against one
+    shared (256, 384) window (rows 64-aligned, cols 128-aligned) fetched
+    as ONE dynamic-slice async copy from the unblocked source. Relative
+    to the earlier per-tile (128, 256) formulation this halves the loop
+    steps and DMA issues and doubles the matmul M -- measured 6% faster
+    at an unchanged real-pose fit rate (99.98% of pairs,
+    benchmarks/warp_pair_stats.py / warp_kernel_sweep.py). Pairs whose
+    union footprint overflows the window write garbage here and their
+    tiles are redone by the overflow pass; the caller selects per tile.
 
-    kref/cref : (N, T) window starts (64-row / 128-col units).
+    kref/cref : (N, T//2) pair window starts (64-row / 128-col units).
     sref      : (N,) source view indices.
     src_hbm   : (V, HP, WP) unblocked source (compiler-chosen space).
     xy_ref    : (1, 2, P) this slot's plane-major coords (VMEM block).
     out_ref   : (1, T, 8, _TILE//8) this slot's output (VMEM block).
-    wbuf/sems : (2, 128, 256) window scratch + DMA semaphores.
+    wbuf/sems : (2, 256, 384) window scratch + DMA semaphores.
     """
     s = pl.program_id(0)
-    t = out_ref.shape[1]
+    n_pairs = out_ref.shape[1] // 2
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
             src_hbm.at[
                 sref[s],
-                pl.ds(kref[s, j] * _RBLK2, 2 * _RBLK2),
-                pl.ds(cref[s, j] * _CBLK, 2 * _CBLK),
+                pl.ds(kref[s, j] * _RBLK2, _PAIR_ROWS),
+                pl.ds(cref[s, j] * _CBLK, _PAIR_COLS),
             ],
             wbuf.at[slot],
             sems.at[slot],
@@ -223,20 +233,21 @@ def _fused_warp_kernel(kref, cref, sref, src_hbm, xy_ref, out_ref, wbuf, sems):
     def body(j, _):
         cur = lax.rem(j, 2)
 
-        @pl.when(j + 1 < t)
+        @pl.when(j + 1 < n_pairs)
         def _():
             get_dma(lax.rem(j + 1, 2), j + 1).start()
 
         get_dma(cur, j).wait()
         base = (kref[s, j] * _RBLK2).astype(jnp.float32)
         cbase = (cref[s, j] * _CBLK).astype(jnp.float32)
-        x = xy_ref[0, 0, pl.ds(j * _TILE, _TILE)]
-        y = xy_ref[0, 1, pl.ds(j * _TILE, _TILE)]
+        m = 2 * _TILE
+        x = xy_ref[0, 0, pl.ds(j * m, m)]
+        y = xy_ref[0, 1, pl.ds(j * m, m)]
         out = _tile_contrib(x, y, wbuf[cur], base, cbase)
-        out_ref[0, j] = out.reshape(8, _TILE // 8)
+        out_ref[0, pl.ds(2 * j, 2)] = out.reshape(2, 8, _TILE // 8)
         return ()
 
-    lax.fori_loop(0, t, body, ())
+    lax.fori_loop(0, n_pairs, body, ())
 
 
 def _overflow_warp_kernel(
@@ -360,9 +371,12 @@ class _Plan(NamedTuple):
     all_fit: jnp.ndarray  # () bool: every tile fits this path's window
     sel: Optional[jnp.ndarray]  # (N,) which orientation each slot picked
     fit: Optional[jnp.ndarray] = None  # (N, T) per-tile narrow-window fit
-    k2: Optional[jnp.ndarray] = None  # (N, T) pass-A row starts (64-units)
-    kc2: Optional[jnp.ndarray] = None  # (N, T) pass-A col starts
-    fit_a: Optional[jnp.ndarray] = None  # (N, T) pass-A (128, 256) fit
+    k2: Optional[jnp.ndarray] = None  # (N, T/2) pass-A PAIR row starts
+    #                                   (64-units; pairs of consecutive
+    #                                   tiles share one (256, 384) window)
+    kc2: Optional[jnp.ndarray] = None  # (N, T/2) pass-A pair col starts
+    fit_a: Optional[jnp.ndarray] = None  # (N, T) pass-A pair-window fit
+    #                                      (broadcast per tile)
 
 
 def _mark_and_stack(valid, xs, ys):
@@ -446,12 +460,23 @@ def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
         k, fit_r = _row_placement(ylo, yhi, hp)
         kc, fit_c = _col_placement(xlo, xhi, wp)
         fit = fit_r & fit_c
-        # pass-A placement: (128, 256) window, rows 64-aligned
-        k2 = jnp.clip(ylo // _RBLK2, 0, hp // _RBLK2 - 2).astype(jnp.int32)
-        fit_r2 = yhi <= (k2 + 2) * _RBLK2 - 1
-        kc2 = jnp.clip(xlo // _CBLK, 0, wp // _CBLK - 2).astype(jnp.int32)
-        fit_c2 = xhi <= (kc2 + 2) * _CBLK - 1
-        fit_a = fit_r2 & fit_c2
+        # pass-A placement: consecutive tile PAIRS share one (256, 384)
+        # window (rows 64-aligned, cols 128-aligned). t is always even
+        # here (hc, wc are 32-multiples => t = hc*wc/512 is even).
+        pair_lo = lambda a: a.reshape(n, t // 2, 2).min(axis=-1)
+        pair_hi = lambda a: a.reshape(n, t // 2, 2).max(axis=-1)
+        pylo, pyhi = pair_lo(ylo), pair_hi(yhi)
+        pxlo, pxhi = pair_lo(xlo), pair_hi(xhi)
+        k2 = jnp.clip(
+            pylo // _RBLK2, 0, hp // _RBLK2 - _PAIR_ROWS // _RBLK2
+        ).astype(jnp.int32)
+        fit_r2 = pyhi <= k2 * _RBLK2 + _PAIR_ROWS - 1
+        kc2 = jnp.clip(
+            pxlo // _CBLK, 0, wp // _CBLK - _PAIR_COLS // _CBLK
+        ).astype(jnp.int32)
+        fit_c2 = pxhi <= kc2 * _CBLK + _PAIR_COLS - 1
+        # per-tile fit mask (both tiles of an unfit pair go to overflow)
+        fit_a = jnp.repeat(fit_r2 & fit_c2, 2, axis=1)
         # routing score: most fitting tiles, then tightest row spans
         nfit = jnp.sum(fit, axis=-1)
         rsum = jnp.sum(jnp.maximum(yhi - jnp.minimum(ylo, yhi), 0), -1)
@@ -559,7 +584,7 @@ def bilinear_sample_mxu(
                 (1, t, 8, _TILE // 8), lambda s, kr, kc, si: (s, 0, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 2 * _RBLK2, 2 * _CBLK), src.dtype),
+                pltpu.VMEM((2, _PAIR_ROWS, _PAIR_COLS), src.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )

@@ -157,8 +157,11 @@ def build_batched_step(num_recordings: int = 24, chunk: int = 8, config=None):
     conf_seq = jnp.asarray(labels.hand_confidences[tidx])
 
     rng = np.random.default_rng(0)
+    # RECORDING-major images (R, chunk, V, H, W): the layout the host
+    # assembles anyway; the pipelined phase-A flatten is then a free
+    # reshape instead of a device-side transpose of the uint8 chunk
     images_seq = jnp.asarray(
-        rng.integers(0, 256, (chunk, r, v, 480, 636), dtype=np.uint8)
+        rng.integers(0, 256, (r, chunk, v, 480, 636), dtype=np.uint8)
     )
 
     @jax.jit
@@ -166,7 +169,7 @@ def build_batched_step(num_recordings: int = 24, chunk: int = 8, config=None):
         del ja0, wr0  # eval crops come from the per-frame GT sequences
         state, res = track_chunk_eval_batched(
             model, opts, state, images_seq, cams, cam_seq, angles, hand,
-            ja_seq, wr_seq, conf_seq,
+            ja_seq, wr_seq, conf_seq, images_rec_major=True,
         )
         return state, res.wrist_xfs
 

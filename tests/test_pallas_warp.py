@@ -146,15 +146,21 @@ class TestOneHotMxuWarp:
         imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
         idx = jnp.asarray([0, 1], jnp.int32)
         gy, gx = np.mgrid[0:96, 0:96]
-        y = 130.0 + gy[None] * 0.9 + rng.uniform(0, 1, (2, 96, 96))
+        y = 200.0 + gy[None] * 0.5 + rng.uniform(0, 1, (2, 96, 96))
         x = 120 + gx[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
-        # one (16, 32) block of slot 0 sweeps 140 source rows internally
-        y[0, :16, :32] = 130.0 + (gx[:16, :32] % 2) * 140.0
+        # slot 0: the first two (16, 32) blocks (one pass-A PAIR) land in
+        # distant row bands (20 vs 460): each TILE's own span is tiny (fits
+        # the per-tile overflow window) but the pair union spans ~441 rows
+        # and overflows the shared (256, 384) pass-A window. In the
+        # (32, 16) orientation tile 2 itself would span 441 rows and fail
+        # the narrow fit, so routing keeps (16, 32).
+        y[0, :16, :32] = 20.0 + rng.uniform(0, 1, (16, 32))
+        y[0, :16, 32:64] = 460.0 + rng.uniform(0, 1, (16, 32))
         xf = jnp.asarray(x.reshape(2, -1), jnp.float32)
         yf = jnp.asarray(y.reshape(2, -1), jnp.float32)
         plan = pb(xf, yf, 480, 636, 2, 96 * 96, (96, 96))
         n_over = int(np.sum(~np.asarray(plan.fit_a)))
-        assert 0 < n_over <= 4  # the crafted block, not the whole call
+        assert 0 < n_over <= 4  # the crafted pair, not the whole call
         assert bool(plan.all_fit)  # all tiles fit the overflow window
         coords = jnp.asarray(
             np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
@@ -176,9 +182,13 @@ class TestOneHotMxuWarp:
         imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636)).astype(np.float32))
         idx = jnp.asarray([0, 1], jnp.int32)
         gy, gx = np.mgrid[0:96, 0:96]
-        # every block sweeps ~140 source rows: all tiles overflow pass A,
-        # all fit the (256, 384) window
-        y = 130.0 + (gx[None] % 2) * 140.0 + rng.uniform(0, 1, (2, 96, 96))
+        # alternate row bands (20 vs 460) every 16 crop COLUMNS: in the
+        # (32, 16) orientation every tile is uniform (fits the per-tile
+        # (256, 384) window) but every consecutive PAIR unions both bands
+        # (~441 rows) and overflows pass A; in (16, 32) each tile itself
+        # spans both bands and fails the narrow fit, so routing picks
+        # (32, 16). All pairs overflow -> far beyond the budget of 2.
+        y = 20.0 + ((gx[None] // 16) % 2) * 440.0 + rng.uniform(0, 1, (2, 96, 96))
         x = 120 + gx[None] * 2.0 + rng.uniform(0, 1, (2, 96, 96))
         plan = pw._plan_blocked(
             jnp.asarray(x.reshape(2, -1), jnp.float32),
