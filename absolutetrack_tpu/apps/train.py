@@ -72,6 +72,17 @@ def main(argv=None):
         help="train on the synthetic-blob vision task (no packed data "
         "needed); prints held-out tracked MPJPE before/after",
     )
+    ap.add_argument(
+        "--rendered",
+        action="store_true",
+        help="dress-rehearsal recipe: train on windows built by the REAL "
+        "crop/warp pipeline over synthetic-renderer frames posed by the "
+        "sample_data labels (training/rendered.py); recording_11 held out",
+    )
+    ap.add_argument(
+        "--rendered-stride", type=int, default=4,
+        help="window start stride for --rendered (4 -> ~90 windows/recording)",
+    )
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
@@ -79,7 +90,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--branch", choices=["known", "unknown"], default="known")
+    ap.add_argument(
+        "--branch", choices=["known", "unknown", "both"], default="known",
+        help="'both' trains regressor_k AND regressor_u in one step (the "
+        "eval protocol chain needs both)",
+    )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--save", default="tmp/checkpoints/latest.msgpack")
     ap.add_argument("--save-every", type=int, default=50)
@@ -93,7 +108,7 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    if args.synthetic:
+    if args.synthetic or args.rendered:
         cfg = ModelConfig(input_size=(args.input_size, args.input_size))
         ds = None
     else:
@@ -119,7 +134,34 @@ def main(argv=None):
         state = load_train_state(args.resume, state)
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    if args.synthetic:
+    if args.rendered:
+        from ..training import make_eval_step
+        from ..training.rendered import rendered_dataset, slice_windows
+
+        root = "/root/reference/sample_data/user05"
+        tag = f"tmp/rendered_ds_{args.input_size}_T{args.window}_s{args.rendered_stride}"
+        train_b, train_h = rendered_dataset(
+            [f"{root}/recording_00.json", f"{root}/recording_02.json"],
+            window_t=args.window, stride=args.rendered_stride, cfg=cfg,
+            cache_path=f"{tag}_train.npz",
+        )
+        held_b, held_h = rendered_dataset(
+            [f"{root}/recording_11.json"],
+            window_t=args.window, stride=args.rendered_stride, cfg=cfg,
+            max_windows_per_recording=64, cache_path=f"{tag}_held.npz",
+        )
+        n_train = train_b.hand_idx.shape[0]
+        print(f"rendered windows: train {n_train} samples, "
+              f"held-out {held_b.hand_idx.shape[0]} samples (recording_11)")
+
+        def batches():
+            rng = np.random.default_rng(args.seed)
+            while True:
+                idx = np.sort(
+                    rng.choice(n_train, size=min(args.batch, n_train), replace=False)
+                )
+                yield slice_windows(train_b, train_h, idx)
+    elif args.synthetic:
         from ..training import make_eval_step
         from ..training.synthetic import learnable_windows
 
@@ -141,14 +183,24 @@ def main(argv=None):
                 ]
                 yield windows_to_batch(seqs)
 
+    has_eval = args.synthetic or args.rendered
     with mesh:
         sh = batch_shardings(mesh)
         step = make_train_step(mesh, cfg, opt, branch=args.branch)
-        if args.synthetic:
-            ev = make_eval_step(mesh, cfg, branch=args.branch)
-            held_batch, held_hand = learnable_windows(
-                max(args.batch, 16), t=args.window, cfg=cfg, seed=999_999
-            )
+        if has_eval:
+            ev_branch = "unknown" if args.branch == "unknown" else "known"
+            ev = make_eval_step(mesh, cfg, branch=ev_branch)
+            if args.rendered:
+                from ..training.rendered import materialize
+
+                held_batch, held_hand = (
+                    jax.tree.map(jnp.asarray, materialize(held_b)),
+                    jax.tree.map(jnp.asarray, held_h),
+                )
+            else:
+                held_batch, held_hand = learnable_windows(
+                    max(args.batch, 16), t=args.window, cfg=cfg, seed=999_999
+                )
 
             def heldout_mpjpe_mm(params):
                 out = ev(params, held_batch, held_hand)
@@ -169,7 +221,7 @@ def main(argv=None):
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 extra = ""
-                if args.synthetic and (
+                if has_eval and (
                     i % args.eval_every == 0 or i == args.steps - 1
                 ):
                     extra = f" heldout={heldout_mpjpe_mm(state.params):.1f}mm"
@@ -179,7 +231,7 @@ def main(argv=None):
                 save_params(args.save, state.params)
                 save_train_state(args.save + ".train", state)
         it.close()
-        if args.synthetic:
+        if has_eval:
             e1 = heldout_mpjpe_mm(state.params)
             print(
                 f"held-out tracked MPJPE: {e0:.1f} mm (init) -> {e1:.1f} mm "

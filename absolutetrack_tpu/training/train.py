@@ -114,6 +114,16 @@ def loss_fn(
     branch: str = "known",
     weights: LossWeights = LossWeights(),
 ):
+    if branch == "both":
+        # train regressor_k AND regressor_u (+ shared trunk) in one step:
+        # the eval protocol chain needs both (unknown-skeleton calibration
+        # uses regressor_u, pass-2 tracking uses regressor_k)
+        tk, mk = loss_fn(params, batch, hand_model_m, cfg, "known", weights)
+        tu, mu = loss_fn(params, batch, hand_model_m, cfg, "unknown", weights)
+        metrics = {f"u_{k}": v for k, v in mu.items()}
+        metrics.update(mk)
+        metrics["total"] = tk + tu
+        return tk + tu, metrics
     outs = _unroll(params, batch, cfg, branch)
     pred_wrist_left = _undo_world_mirror(outs.wrist_xfs, batch.hand_idx[None])
     outs = outs._replace(wrist_xfs=pred_wrist_left)

@@ -162,6 +162,83 @@ class TestTrainStep:
         np.testing.assert_allclose(relosses, losses[9:], rtol=1e-5)
         np.testing.assert_allclose(e1_resumed, e1, rtol=1e-5)
 
+    def test_rendered_windows_dress_rehearsal_recipe(self):
+        """The trained-weights dress-rehearsal data path (training/
+        rendered.py): windows built by the REAL crop/warp pipeline over
+        renderer frames must (a) carry GT in the exact convention the loss
+        assumes -- skin_landmarks(left-canonical gt_wrist) equals the
+        world landmarks the renderer drew, for BOTH hands -- and (b) train
+        under branch='both' (known + unknown regressors in one step)."""
+        from absolutetrack_tpu.tracker.tracker import MM_TO_M
+        from absolutetrack_tpu.tracker.video_data import load_labels
+        from absolutetrack_tpu.training.rendered import (
+            _gt_landmarks_mm,
+            rendered_windows_from_labels,
+            slice_windows,
+        )
+        from absolutetrack_tpu.kinematics.skinning import skin_landmarks
+
+        labels = load_labels(
+            "/root/reference/sample_data/user05/recording_00.json"
+        )
+        starts = [100, 140]
+        batch, hand_m = rendered_windows_from_labels(labels, starts, 2, cfg=CFG)
+        assert batch.images.shape == (2, 4, 2, 32, 32)
+        assert batch.images.dtype == np.uint8  # RAM-lean storage
+        assert not batch.use_memory[0].any()
+
+        # chunked build == one-shot build (the full dataset uses chunks)
+        b2, _ = rendered_windows_from_labels(
+            labels, starts, 2, cfg=CFG, chunk_windows=1
+        )
+        np.testing.assert_array_equal(batch.images, b2.images)
+        np.testing.assert_allclose(
+            batch.extrinsics, b2.extrinsics, atol=1e-6
+        )
+
+        # (a) GT convention: FK of the stored left-canonical wrist over the
+        # stored left hand model reproduces the world-mm landmarks
+        t, b = batch.gt_joint_angles.shape[:2]
+        hand_tb = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (t,) + x.shape), hand_m
+        )
+        lm = np.asarray(
+            skin_landmarks(
+                hand_tb,
+                jnp.asarray(batch.gt_joint_angles),
+                jnp.asarray(batch.gt_wrist),
+            )
+        )
+        world_mm = _gt_landmarks_mm(labels)
+        for wi, s in enumerate(starts):
+            for dt in range(2):
+                for h in range(2):
+                    np.testing.assert_allclose(
+                        lm[dt, wi * 2 + h],
+                        world_mm[s + dt, h] * MM_TO_M,
+                        atol=1e-5,
+                    )
+
+        # unknown-branch scale target: user05 vs generic, a sane ratio
+        assert 0.7 < float(np.exp(batch.gt_log_scale[0])) < 1.4
+
+        # (b) one 'both' step on a slice: finite, both branches supervised
+        sub, sub_hand = slice_windows(batch, hand_m, np.array([0, 1]))
+        mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        params = init_umetrack_params(jax.random.PRNGKey(0), CFG)
+        opt = make_optimizer(lr=1e-3)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        with mesh:
+            step = make_train_step(mesh, CFG, opt, branch="both")
+            state, metrics = step(
+                state,
+                jax.tree.map(jnp.asarray, sub),
+                jax.tree.map(jnp.asarray, sub_hand),
+            )
+        assert np.isfinite(float(metrics["total"]))
+        assert "landmark_l2_m" in metrics  # known branch
+        assert "u_skel_scale_logmse" in metrics  # unknown branch
+
     def test_masked_samples_do_not_contribute(self):
         """Loss with half the batch masked == loss of the unmasked half."""
         from absolutetrack_tpu.training.train import loss_fn
