@@ -18,7 +18,6 @@ import numpy as np
 from ..kinematics.hand_model import HandModel, scaled_hand_model
 from ..kinematics.skinning import landmarks_from_hand_pose
 from ..models import ModelConfig, UmeTrackModel, init_umetrack_params
-from ..models.weights import load_torch_checkpoint
 from ..tracker import HandTracker, TrackerConfig
 from ..tracker.video_data import (
     HandPoseLabels,
@@ -38,7 +37,11 @@ def build_model(
 
     with on_cpu():  # init op-by-op on host; params move at first jit use
         if checkpoint:
-            params = jax.tree.map(jnp.asarray, load_torch_checkpoint(checkpoint, cfg))
+            # torch state dict OR native .msgpack (e.g. the dress-rehearsal
+            # checkpoint from scripts/train_rehearsal.sh) -- sniffed by path
+            from ..models.checkpoint import load_any
+
+            params = load_any(checkpoint, cfg)
         else:
             params = init_umetrack_params(jax.random.PRNGKey(seed), cfg)
     return UmeTrackModel(params, cfg)
