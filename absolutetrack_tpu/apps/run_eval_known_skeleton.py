@@ -55,6 +55,11 @@ def main(argv=None):
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--override", action="store_true")
     ap.add_argument(
+        "--tiny-arch", action="store_true",
+        help="ModelConfig.tiny(): full topology at reduced width/crop size "
+        "(CPU-speed drills + the trained-protocol-chain regression test)",
+    )
+    ap.add_argument(
         "--batch-recordings", type=int, default=1,
         help="track N sequences in lockstep per dispatch (fills the chip)",
     )
@@ -71,7 +76,14 @@ def main(argv=None):
 
     from ..models import ModelConfig
 
-    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    if args.tiny_arch:
+        mcfg = (
+            ModelConfig.tiny(compute_dtype="bfloat16")
+            if args.precision == "serving"
+            else ModelConfig.tiny()
+        )
+    else:
+        mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
     model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
     errors = []
 

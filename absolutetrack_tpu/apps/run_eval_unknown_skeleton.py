@@ -130,6 +130,11 @@ def main(argv=None):
     ap.add_argument("--test-only", action="store_true")
     ap.add_argument("--override", action="store_true")
     ap.add_argument(
+        "--tiny-arch", action="store_true",
+        help="ModelConfig.tiny(): full topology at reduced width/crop size "
+        "(CPU-speed drills + the trained-protocol-chain regression test)",
+    )
+    ap.add_argument(
         "--batch-recordings", type=int, default=1,
         help="run both passes over N sequences in lockstep per dispatch "
         "(the TPU analog of the reference's Pool(8) over this protocol, "
@@ -150,7 +155,14 @@ def main(argv=None):
     label_files = label_files[args.rank :: args.world_size]
     from ..models import ModelConfig
 
-    mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
+    if args.tiny_arch:
+        mcfg = (
+            ModelConfig.tiny(compute_dtype="bfloat16")
+            if args.precision == "serving"
+            else ModelConfig.tiny()
+        )
+    else:
+        mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
     model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
 
     errors = []

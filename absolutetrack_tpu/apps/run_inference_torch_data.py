@@ -74,6 +74,73 @@ def eval_window(model, seq, use_memory_t0: bool = False, n_views: int | None = N
     return jnp.linalg.norm(pred_lm - gt_lm, axis=-1).mean(-1) * M_TO_MM
 
 
+def eval_windows_batched(model, seqs, use_memory_t0: bool = False,
+                         n_views: int | None = None):
+    """Scan W stacked windows in lockstep -> (W, T) per-frame errors in mm.
+
+    ``seqs`` is a PackedSequence pytree stacked on a leading window axis
+    (fields (W, T, ...)). Matches the reference's bs=160 batch-lockstep
+    unroll (run_inference_torch_data.py:164-185): per-window compute is
+    independent, so one dispatch fills the chip with W windows instead of
+    leaving it idle at B=1. Per-window math is identical to
+    ``eval_window`` (pinned bitwise by tests/test_integration.py).
+    """
+    imgs = seqs.left_images  # (W, T, V, h, w)
+    b, t, v = imgs.shape[:3]
+    state = model.init_state(b)
+    skel = SkeletonInputs(
+        joint_rotation_axes=seqs.gt_hand_model.joint_rotation_axes,
+        joint_rest_positions=seqs.gt_hand_model.joint_rest_positions,
+    )
+    use_mem = jnp.arange(t) > (0 if not use_memory_t0 else -1)  # (T,)
+    view_mask = jnp.arange(v) < (v if n_views is None else n_views)  # (V,)
+    vm_b = jnp.broadcast_to(view_mask, (b, v))
+
+    def step(state, xs):
+        img, intr, extr, um = xs  # (W, V, ...), um scalar
+        frame = FrameInputs(
+            left_images=jnp.where(view_mask[None, :, None, None], img, 0.0),
+            intrinsics=intr,
+            extrinsics=extr,
+            view_mask=vm_b,
+            hand_idx=seqs.hand_idx,
+            use_memory=jnp.broadcast_to(um, (b,)),
+            sample_mask=jnp.ones(b, bool),
+        )
+        state, out = model.regress_pose_use_skeleton(state, frame, skel)
+        return state, out
+
+    xs = (
+        jnp.moveaxis(seqs.left_images, 0, 1),  # (T, W, V, h, w)
+        jnp.moveaxis(seqs.intrinsics, 0, 1),
+        jnp.moveaxis(seqs.extrinsics, 0, 1),
+        use_mem,
+    )
+    _, outs = jax.lax.scan(step, state, xs)
+    sign = jnp.where(seqs.hand_idx == 1, -1.0, 1.0)  # (W,)
+    wrist_left = outs.wrist_xfs.at[..., :, 0].multiply(sign[None, :, None])
+    hand_tb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (t,) + x.shape), seqs.gt_hand_model
+    )
+    pred_lm = skin_landmarks(hand_tb, outs.joint_angles, wrist_left)
+    gt_lm = skin_landmarks(
+        hand_tb,
+        jnp.moveaxis(seqs.gt_joint_angles, 0, 1),
+        jnp.moveaxis(seqs.gt_wrist, 0, 1),
+    )
+    err = jnp.linalg.norm(pred_lm - gt_lm, axis=-1).mean(-1)  # (T, W)
+    return err.T * M_TO_MM
+
+
+def stack_windows(seqs):
+    """List of uniform-T PackedSequences -> one pytree with leading W axis."""
+    t0 = seqs[0].left_images.shape[0]
+    assert all(s.left_images.shape[0] == t0 for s in seqs), (
+        "batched window eval needs uniform window length"
+    )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *seqs)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="tmp/torch_data")
@@ -89,6 +156,12 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--views", type=int, default=None,
                     help="restrict to the first N views (1 = single-view path)")
+    ap.add_argument("--batch-windows", type=int, default=1,
+                    help="evaluate W windows per dispatch in lockstep "
+                    "(reference runs bs=160; W>=16 fills the chip)")
+    ap.add_argument("--mesh-data", type=int, default=None,
+                    help="shard the window batch over a 'data' mesh of this "
+                    "many devices (requires --batch-windows divisible by it)")
     args = ap.parse_args(argv)
 
     folders = find_dataset_folders(args.data_root, ["mono", "labels"])
@@ -114,10 +187,49 @@ def main(argv=None):
 
     indices = list(sampler)[: args.limit]
     errors = []
-    for seq in PrefetchIterator(map(load, indices), max_prefetch=args.prefetch):
-        err = np.asarray(run(seq))
-        errors.append(err)
-        print(f"window error: {err.mean():.2f} mm")
+    if args.batch_windows > 1:
+        import time
+
+        w = args.batch_windows
+        run_b = jax.jit(
+            lambda seqs: eval_windows_batched(model, seqs, n_views=args.views)
+        )
+        put = None
+        if args.mesh_data:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import make_mesh
+
+            assert w % args.mesh_data == 0, "--batch-windows % --mesh-data != 0"
+            mesh = make_mesh(data=args.mesh_data, model=1)
+            sh = NamedSharding(mesh, P("data"))
+            put = lambda seqs: jax.tree.map(lambda x: jax.device_put(x, sh), seqs)
+
+        def load_group(g):
+            seqs = [load(i) for i in g]
+            pad = w - len(seqs)
+            stacked = stack_windows(seqs + [seqs[-1]] * pad)
+            return stacked, len(seqs)
+
+        groups = [indices[i : i + w] for i in range(0, len(indices), w)]
+        t0, n_frames = time.time(), 0
+        for stacked, n_real in PrefetchIterator(
+            map(load_group, groups), max_prefetch=args.prefetch
+        ):
+            if put is not None:
+                stacked = put(stacked)
+            err = np.asarray(run_b(stacked))[:n_real]  # (n_real, T)
+            errors.extend(err)
+            n_frames += err.size
+            print(f"group of {n_real}: {err.mean():.2f} mm")
+        dt = time.time() - t0
+        print(f"throughput: {len(errors) / dt:.1f} windows/s "
+              f"({n_frames / dt:.0f} frames/s) at W={w}")
+    else:
+        for seq in PrefetchIterator(map(load, indices), max_prefetch=args.prefetch):
+            err = np.asarray(run(seq))
+            errors.append(err)
+            print(f"window error: {err.mean():.2f} mm")
     if errors:
         print(f"Mean landmark error: {np.concatenate(errors).mean():.3f} mm "
               f"over {len(errors)} windows")

@@ -83,6 +83,16 @@ def main(argv=None):
         "--rendered-stride", type=int, default=4,
         help="window start stride for --rendered (4 -> ~90 windows/recording)",
     )
+    ap.add_argument(
+        "--augment", type=int, default=0,
+        help="extra augmented replicas per recording for --rendered "
+        "(scale 0.8-1.2 + pose perturbation; training/rendered.py)",
+    )
+    ap.add_argument(
+        "--crop-jitter", action="store_true",
+        help="build augmented replicas' crops from jittered poses "
+        "(simulates serving's imperfect tracked-pose crops)",
+    )
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
@@ -139,16 +149,24 @@ def main(argv=None):
         from ..training.rendered import rendered_dataset, slice_windows
 
         root = "/root/reference/sample_data/user05"
-        tag = f"tmp/rendered_ds_{args.input_size}_T{args.window}_s{args.rendered_stride}"
+        base_tag = (
+            f"tmp/rendered_ds_{args.input_size}_T{args.window}"
+            f"_s{args.rendered_stride}"
+        )
+        tag = base_tag
+        if args.augment:
+            tag += f"_a{args.augment}" + ("j" if args.crop_jitter else "")
         train_b, train_h = rendered_dataset(
             [f"{root}/recording_00.json", f"{root}/recording_02.json"],
             window_t=args.window, stride=args.rendered_stride, cfg=cfg,
             cache_path=f"{tag}_train.npz",
+            augment=args.augment, crop_jitter=args.crop_jitter,
+            seed=args.seed,
         )
         held_b, held_h = rendered_dataset(
             [f"{root}/recording_11.json"],
             window_t=args.window, stride=args.rendered_stride, cfg=cfg,
-            max_windows_per_recording=64, cache_path=f"{tag}_held.npz",
+            max_windows_per_recording=64, cache_path=f"{base_tag}_held.npz",
         )
         n_train = train_b.hand_idx.shape[0]
         print(f"rendered windows: train {n_train} samples, "

@@ -3,8 +3,9 @@
 Format (from the reference's format doc, lib/data_utils/idxbinfile.py:111-124):
 the ``.idx`` file is an int64 array:
 
-  [0] magic 0x584449544E54  ("TNTIDX" little-endian bytes)
-  [1] version = 1
+  [0] magic 0x584449544E54  ("TNTIDX" little-endian bytes; 0 for legacy v0)
+  [1] version = 1 (or 0 for the legacy vintage, accepted like the
+      reference reader -- lib/data_utils/idxbinfile.py:136-145)
   [2] dtype code (see _DTYPE_CODES; 8 = msgpack object)
   [3] itemsize
   [4] N  (number of elements)
@@ -62,8 +63,18 @@ class TorchIdx:
         self.source = idx_path
         self.bin_path = bin_path or _bin_path_for_idx(idx_path)
         header = np.fromfile(idx_path, dtype=np.int64)
-        if header[0] != MAGIC or header[1] != 1:
-            raise ValueError(f"bad magic/version in {idx_path}")
+        # Version handling mirrors the reference reader
+        # (lib/data_utils/idxbinfile.py:136-145): version 0 requires
+        # magic 0, version 1 requires the TNTIDX magic.
+        version = int(header[1])
+        if version == 0:
+            if header[0] != 0:
+                raise ValueError(f"bad magic in v0 file {idx_path}")
+        elif version == 1:
+            if header[0] != MAGIC:
+                raise ValueError(f"bad magic in {idx_path}")
+        else:
+            raise ValueError(f"unsupported version {version} in {idx_path}")
         code = int(header[2])
         self.itemsize = int(header[3])
         n = int(header[4])
@@ -84,17 +95,24 @@ class TorchIdx:
         if self.is_object:
             self.dtype = np.dtype("object")
         else:
+            if code not in _DTYPE_CODES:
+                raise ValueError(f"unrecognized dtype code {code} in {idx_path}")
             self.dtype = np.dtype(_DTYPE_CODES[code])
             if self.dtype.itemsize != self.itemsize:
                 raise ValueError("itemsize mismatch")
 
+        # Uniform fast path: like the reference (idxbinfile.py:176-188) a
+        # uniform file may start at a nonzero stored offset (e.g. a shared
+        # .bin); the zero-copy view just begins at that byte offset.
+        per_elem = math.prod(self._dims[0]) if n > 0 else 0
         self.is_uniform = (
             not self.is_object
             and n > 0
             and all(d == self._dims[0] for d in self._dims)
-            and int(self._data_offsets[0]) == 0
+            and bool(np.all(np.diff(self._data_offsets) == per_elem))
         )
         self.shape = (n, *self._dims[0]) if self.is_uniform else None
+        self._base_offset = int(self._data_offsets[0]) * self.itemsize if n else 0
         self._mmap: np.memmap | None = None
 
     def __len__(self) -> int:
@@ -159,8 +177,9 @@ class TorchIdx:
             raise ValueError("file is not uniform-shape")
         raw = self._ensure_mmap()
         count = math.prod(self.shape)
+        start = self._base_offset
         return np.frombuffer(
-            raw[: count * self.itemsize], dtype=self.dtype
+            raw[start : start + count * self.itemsize], dtype=self.dtype
         ).reshape(self.shape)
 
 

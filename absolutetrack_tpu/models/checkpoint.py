@@ -48,12 +48,33 @@ def load_params(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
 
 
 def load_any(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
-    """Native .msgpack checkpoint or a torch state dict."""
-    if path.endswith((".torch", ".pt", ".pth")):
-        from .weights import load_torch_checkpoint
+    """Native flax-msgpack checkpoint or a torch state dict.
 
-        return jax.tree.map(jnp.asarray, load_torch_checkpoint(path, cfg))
-    return load_params(path, cfg)
+    Dispatch: torch extensions (.torch/.pt/.pth) go to the converter;
+    otherwise the file's magic bytes are sniffed -- torch zip archives
+    start with ``PK\\x03\\x04`` and legacy torch pickles with the pickle
+    protocol-2 marker ``\\x80`` -- before falling back to native msgpack.
+    """
+    from .weights import load_torch_checkpoint
+
+    def _torch(p):
+        return jax.tree.map(jnp.asarray, load_torch_checkpoint(p, cfg))
+
+    if path.endswith((".torch", ".pt", ".pth")):
+        return _torch(path)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic.startswith(b"PK\x03\x04") or magic.startswith(b"\x80"):
+        return _torch(path)
+    try:
+        return load_params(path, cfg)
+    except Exception as e:
+        raise ValueError(
+            f"{path}: not a native flax-msgpack checkpoint (and magic bytes "
+            f"{magic!r} are not a torch zip/pickle). Supported formats: "
+            "native .msgpack from save_params, or a torch state dict "
+            "(.torch/.pt/.pth)."
+        ) from e
 
 
 def save_train_state(path: str, state) -> None:

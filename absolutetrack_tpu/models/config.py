@@ -42,6 +42,20 @@ class ModelConfig:
         """The supported fast-serving preset: bf16 conv trunk."""
         return cls(compute_dtype="bfloat16", **overrides)
 
+    @classmethod
+    def tiny(cls, **overrides) -> "ModelConfig":
+        """Small-but-complete architecture (full topology at reduced width,
+        32x32 crops): compiles in seconds; used by CPU-speed drills and the
+        trained-protocol-chain regression test."""
+        defaults = dict(
+            network="resnet_layers_1111-f16",
+            n_image_feature_channels=24,
+            n_temporal_memory_channels=6,
+            input_size=(32, 32),
+        )
+        defaults.update(overrides)
+        return cls(**defaults)
+
     @property
     def feature_size(self) -> Tuple[int, int]:
         # stem maxpool /2 then three stride-2 stages => /16 overall

@@ -39,12 +39,7 @@ def tiny_eval_config():
     reduced width; compiles in seconds instead of minutes)."""
     from ..models import ModelConfig
 
-    return ModelConfig(
-        network="resnet_layers_1111-f16",
-        n_image_feature_channels=24,
-        n_temporal_memory_channels=6,
-        input_size=(32, 32),
-    )
+    return ModelConfig.tiny()
 
 
 def eval_shard_metrics(

@@ -153,12 +153,37 @@ class SyntheticFrameSource:
             )
         self.image_size = image_size
         self.blob_sigma = blob_sigma
+        self._win: Optional[np.ndarray] = None  # (T, V, 2, 21, 2) projections
+        self._z: Optional[np.ndarray] = None  # (T, V, 2, 21) eye depths
 
-    def render_frame(self, frame_idx: int) -> np.ndarray:
+    def _project_all(self) -> None:
+        """Project every frame's landmarks into every view in ONE batched
+        call (per-frame jax dispatch made rendering ~25x slower)."""
         import jax
         import jax.numpy as jnp
 
         from ..utils.runtime import on_cpu
+
+        labels = self.labels
+        t, v = len(labels), labels.num_views
+        with on_cpu():
+            cams_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (t,) + x.shape), labels.cameras
+            )._replace(
+                T_world_from_eye=jnp.asarray(labels.camera_to_world, jnp.float32)
+            )
+            lm = jnp.asarray(
+                self.landmarks.reshape(t, 1, 2 * 21, 3), jnp.float32
+            )
+            lm = jnp.broadcast_to(lm, (t, v, 2 * 21, 3))
+            eye = cam.world_to_eye(cams_b, lm)  # (T, V, 42, 3)
+            win = cam.eye_to_window(cams_b, eye, labels.camera_kind)
+            self._win = np.asarray(win).reshape(t, v, 2, 21, 2)
+            self._z = np.asarray(eye[..., 2]).reshape(t, v, 2, 21)
+
+    def render_frame(self, frame_idx: int) -> np.ndarray:
+        if self._win is None:
+            self._project_all()
 
         labels = self.labels
         w, h = self.image_size
@@ -169,28 +194,30 @@ class SyntheticFrameSource:
         for hand in range(2):
             if labels.hand_confidences[frame_idx, hand] <= 0:
                 continue
-            with on_cpu():  # host-side prep math stays off the accelerator
-                cams = labels.cameras_at(frame_idx)
-                lm = jnp.asarray(self.landmarks[frame_idx, hand])  # (21, 3)
-                eye = cam.world_to_eye(cams, lm[None])  # (V, 21, 3)
-                win = np.asarray(cam.eye_to_window(cams, eye, labels.camera_kind))
-                z = np.asarray(eye)[..., 2]
+            win = self._win[frame_idx, :, hand]  # (V, 21, 2)
+            z = self._z[frame_idx, :, hand]  # (V, 21)
             for vi in range(v):
-                for k in range(21):
-                    if z[vi, k] <= 0:
-                        continue
-                    x0, y0 = win[vi, k]
-                    if not (0 <= x0 < w and 0 <= y0 < h):
-                        continue
-                    xi, yi = int(round(float(x0))), int(round(float(y0)))
-                    xs_l = np.clip(xi + np.arange(-r, r + 1), 0, w - 1)
-                    ys_l = np.clip(yi + np.arange(-r, r + 1), 0, h - 1)
-                    dx2 = (xi + span - x0) ** 2
-                    dy2 = (yi + span - y0) ** 2
-                    blob = 255.0 * np.exp(
-                        -(dy2[:, None] + dx2[None, :]) / (2 * self.blob_sigma**2)
-                    )
-                    out[vi][np.ix_(ys_l, xs_l)] += blob
+                # scatter-add every landmark's local gaussian patch at once
+                keep = (
+                    (z[vi] > 0)
+                    & (win[vi, :, 0] >= 0) & (win[vi, :, 0] < w)
+                    & (win[vi, :, 1] >= 0) & (win[vi, :, 1] < h)
+                )
+                if not np.any(keep):
+                    continue
+                x0 = win[vi, keep, 0]  # (K,)
+                y0 = win[vi, keep, 1]
+                xi = np.round(x0).astype(np.int64)
+                yi = np.round(y0).astype(np.int64)
+                xs_l = np.clip(xi[:, None] + np.arange(-r, r + 1), 0, w - 1)
+                ys_l = np.clip(yi[:, None] + np.arange(-r, r + 1), 0, h - 1)
+                dx2 = (xi[:, None] + span - x0[:, None]) ** 2  # (K, P)
+                dy2 = (yi[:, None] + span - y0[:, None]) ** 2
+                blob = 255.0 * np.exp(
+                    -(dy2[:, :, None] + dx2[:, None, :])
+                    / (2 * self.blob_sigma**2)
+                )  # (K, P, P)
+                np.add.at(out[vi], (ys_l[:, :, None], xs_l[:, None, :]), blob)
         return np.clip(out, 0, 255)
 
     def __iter__(self) -> Iterator[np.ndarray]:

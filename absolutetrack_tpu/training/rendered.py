@@ -76,6 +76,83 @@ def _log_scale_vs_generic(hand_model_mm: HandModel) -> float:
     return float(np.log(num / den))
 
 
+def _smooth_noise(
+    rng: np.random.Generator,
+    t: int,
+    shape: Tuple[int, ...],
+    sigma: float,
+    min_period: float = 40.0,
+    max_period: float = 160.0,
+) -> np.ndarray:
+    """(t, *shape) temporally smooth noise: two random sinusoids per element
+    with std ~ sigma (hand motion is low-frequency; white per-frame noise
+    would be unrealistic pose wobble)."""
+    ts = np.arange(t, dtype=np.float32).reshape((t,) + (1,) * len(shape))
+    out = np.zeros((t,) + shape, np.float32)
+    for _ in range(2):
+        period = rng.uniform(min_period, max_period, shape).astype(np.float32)
+        phase = rng.uniform(0, 2 * np.pi, shape).astype(np.float32)
+        amp = rng.normal(0.0, sigma, shape).astype(np.float32)
+        out += amp * np.sin(2 * np.pi * ts / period + phase)
+    return out
+
+
+def augment_labels(
+    labels,
+    seed: int,
+    scale_range: Tuple[float, float] = (0.8, 1.2),
+    wrist_rot_deg: float = 10.0,
+    wrist_trans_mm: float = 25.0,
+    angle_offset_sigma: float = 0.10,
+    angle_wobble_sigma: float = 0.06,
+):
+    """A new plausible recording from an existing one's labels.
+
+    Samples a skeleton scale across the range the scale head must cover
+    (reference lib/models/regressor.py:107-114 notes hand scales around
+    0.8-1.2x generic), perturbs joint angles within the model's joint
+    limits (constant offset + smooth temporal wobble), and perturbs the
+    wrist trajectories (wrist-local rotation + world translation, both
+    with a constant and a smooth component). The renderer and the GT both
+    consume the returned labels, so images and supervision stay exactly
+    consistent -- this multiplies the dress-rehearsal corpus without new
+    label data.
+    """
+    import dataclasses
+
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    t = len(labels)
+
+    s = float(rng.uniform(*scale_range))
+    hand = scaled_hand_model(labels.hand_model, s)
+
+    ja = np.asarray(labels.joint_angles, np.float32).copy()  # (T, 2, 22)
+    ja += rng.normal(0, angle_offset_sigma, (1, 2, 22)).astype(np.float32)
+    ja += _smooth_noise(rng, t, (2, 22), angle_wobble_sigma)
+    jl = labels.hand_model.joint_limits
+    if jl is not None:
+        jl = np.asarray(jl)
+        ja = np.clip(ja, jl[:, 0], jl[:, 1])
+
+    wr = np.asarray(labels.wrist_transforms, np.float32).copy()  # (T, 2, 4, 4)
+    rot_s = np.deg2rad(wrist_rot_deg) / np.sqrt(3)
+    rv = rng.normal(0, rot_s, (1, 2, 3)).astype(np.float32) + _smooth_noise(
+        rng, t, (2, 3), rot_s * 0.5
+    )
+    d_r = Rotation.from_rotvec(rv.reshape(-1, 3)).as_matrix().reshape(t, 2, 3, 3)
+    tr_s = wrist_trans_mm / np.sqrt(3)
+    d_t = rng.normal(0, tr_s, (1, 2, 3)).astype(np.float32) + _smooth_noise(
+        rng, t, (2, 3), tr_s * 0.5
+    )
+    wr[..., :3, :3] = wr[..., :3, :3] @ d_r.astype(np.float32)
+    wr[..., :3, 3] += d_t
+    return dataclasses.replace(
+        labels, hand_model=hand, joint_angles=ja, wrist_transforms=wr
+    )
+
+
 def rendered_windows_from_labels(
     labels,
     starts: Sequence[int],
@@ -83,6 +160,7 @@ def rendered_windows_from_labels(
     cfg: ModelConfig = ModelConfig(),
     blob_sigma: float = 3.0,
     chunk_windows: int = 16,
+    crop_jitter_seed: Optional[int] = None,
 ) -> Tuple[SequenceBatch, HandModel]:
     """Windows of rendered frames pushed through the serving crop/warp path.
 
@@ -91,6 +169,12 @@ def rendered_windows_from_labels(
     left-canonical hand model in meters. ``sample_mask`` is False where the
     crop generator rejected the hand or found fewer than 2 valid views
     (the train step assumes a full stereo view_mask).
+
+    ``crop_jitter_seed``: perturb the poses fed to the CROP GENERATOR only
+    (GT supervision unchanged) -- per-frame ~4 deg wrist rotation, ~8 mm
+    translation, ~0.05 rad joint noise. This matches serving, where crops
+    come from the previous frame's imperfect tracked pose, so the network
+    trains on off-center crops like the ones the live loop produces.
     """
     import jax
     import jax.numpy as jnp
@@ -108,6 +192,27 @@ def rendered_windows_from_labels(
 
     src = SyntheticFrameSource(labels, _gt_landmarks_mm(labels), blob_sigma=blob_sigma)
     frame_ids = [s + dt for s in starts for dt in range(t_n)]  # F = W*T
+
+    ja_crop = np.asarray(labels.joint_angles, np.float32)
+    wr_crop = np.asarray(labels.wrist_transforms, np.float32)
+    if crop_jitter_seed is not None:
+        from scipy.spatial.transform import Rotation
+
+        jrng = np.random.default_rng(crop_jitter_seed)
+        tt = len(labels)
+        ja_crop = ja_crop + jrng.normal(0, 0.05, ja_crop.shape).astype(np.float32)
+        rv = jrng.normal(0, np.deg2rad(4.0) / np.sqrt(3), (tt, 2, 3))
+        d_r = (
+            Rotation.from_rotvec(rv.reshape(-1, 3))
+            .as_matrix()
+            .reshape(tt, 2, 3, 3)
+            .astype(np.float32)
+        )
+        wr_crop = wr_crop.copy()
+        wr_crop[..., :3, :3] = wr_crop[..., :3, :3] @ d_r
+        wr_crop[..., :3, 3] += jrng.normal(
+            0, 8.0 / np.sqrt(3), (tt, 2, 3)
+        ).astype(np.float32)
     rendered = {}
     for fi in sorted(set(frame_ids)):
         rendered[fi] = src.render_frame(fi).astype(np.uint8)
@@ -153,8 +258,8 @@ def rendered_windows_from_labels(
             fr, ok = build(
                 jnp.asarray(images),
                 jnp.asarray(labels.camera_to_world[ids]),
-                jnp.asarray(labels.joint_angles[ids]),
-                jnp.asarray(labels.wrist_transforms[ids]),
+                jnp.asarray(ja_crop[ids]),
+                jnp.asarray(wr_crop[ids]),
                 jnp.asarray(labels.hand_confidences[ids]),
             )
             keep = (chunk_w - pad) * t_n
@@ -282,16 +387,26 @@ def concat_windows(
     return SequenceBatch(**fields), hand_m
 
 
-def _save_dataset(path: str, batch: SequenceBatch, hand_m: HandModel) -> None:
+def _save_dataset(
+    path: str, batch: SequenceBatch, hand_m: HandModel, meta: Optional[dict] = None
+) -> None:
+    import json
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrs = {f"b_{k}": np.asarray(getattr(batch, k)) for k in SequenceBatch._fields
             if getattr(batch, k) is not None}
     arrs.update({f"h_{k}": np.asarray(getattr(hand_m, k)) for k in hand_m._fields
                  if getattr(hand_m, k) is not None})
+    if meta is not None:
+        arrs["meta_json"] = np.frombuffer(
+            json.dumps(meta, sort_keys=True).encode(), np.uint8
+        )
     np.savez_compressed(path, **arrs)
 
 
-def _load_dataset(path: str) -> Tuple[SequenceBatch, HandModel]:
+def _load_dataset(path: str) -> Tuple[SequenceBatch, HandModel, Optional[dict]]:
+    import json
+
     z = np.load(path)
     batch = SequenceBatch(
         **{k: (z[f"b_{k}"] if f"b_{k}" in z else None) for k in SequenceBatch._fields}
@@ -299,7 +414,8 @@ def _load_dataset(path: str) -> Tuple[SequenceBatch, HandModel]:
     hand = HandModel(
         **{k: (z[f"h_{k}"] if f"h_{k}" in z else None) for k in HandModel._fields}
     )
-    return batch, hand
+    meta = json.loads(bytes(z["meta_json"])) if "meta_json" in z else None
+    return batch, hand, meta
 
 
 def rendered_dataset(
@@ -309,27 +425,64 @@ def rendered_dataset(
     cfg: ModelConfig = ModelConfig(),
     max_windows_per_recording: Optional[int] = None,
     cache_path: Optional[str] = None,
+    augment: int = 0,
+    crop_jitter: bool = False,
+    seed: int = 0,
+    blob_sigma: float = 3.0,
 ) -> Tuple[SequenceBatch, HandModel]:
     """Windows from several label JSONs, optionally cached as one .npz.
 
-    Rendering + warping ~100s of frames on the host is minutes of work;
-    the cache makes re-runs (resumed training, the bench) instant.
+    ``augment``: number of EXTRA augmented replicas per recording (replica
+    0 is always the clean labels). Each replica samples a skeleton scale in
+    [0.8, 1.2], perturbed joint angles within limits, and perturbed wrist
+    trajectories (augment_labels); with ``crop_jitter`` the augmented
+    replicas' crops additionally come from jittered poses, matching the
+    serving loop's imperfect tracked-pose crops.
+
+    The cache records its full build parameters and is rebuilt when any of
+    them change (a stale cache under new parameters would silently train
+    on the wrong corpus).
     """
+    meta = {
+        "version": 2,
+        "label_paths": list(label_paths),
+        "window_t": int(window_t),
+        "stride": int(stride),
+        "input_size": list(cfg.input_size),
+        "blob_sigma": float(blob_sigma),
+        "augment": int(augment),
+        "crop_jitter": bool(crop_jitter),
+        "seed": int(seed),
+        "max_windows": int(max_windows_per_recording or 0),
+    }
     if cache_path and os.path.exists(cache_path):
-        return _load_dataset(cache_path)
+        batch, hand_m, cached_meta = _load_dataset(cache_path)
+        if cached_meta == meta:
+            return batch, hand_m
+        print(
+            f"rendered_dataset: {cache_path} was built with different "
+            "parameters; rebuilding"
+        )
 
     from ..tracker.video_data import load_labels
 
     parts = []
-    for p in label_paths:
-        labels = load_labels(p)
-        starts = list(range(0, len(labels) - window_t, stride))
-        if max_windows_per_recording:
-            starts = starts[:max_windows_per_recording]
-        parts.append(
-            rendered_windows_from_labels(labels, starts, window_t, cfg=cfg)
-        )
+    for pi, p in enumerate(label_paths):
+        base = load_labels(p)
+        for r in range(augment + 1):
+            rseed = seed * 7919 + pi * 131 + r
+            lv = base if r == 0 else augment_labels(base, seed=rseed)
+            starts = list(range(0, len(lv) - window_t, stride))
+            if max_windows_per_recording:
+                starts = starts[:max_windows_per_recording]
+            jseed = rseed + 61 if (crop_jitter and r > 0) else None
+            parts.append(
+                rendered_windows_from_labels(
+                    lv, starts, window_t, cfg=cfg, blob_sigma=blob_sigma,
+                    crop_jitter_seed=jseed,
+                )
+            )
     batch, hand_m = concat_windows(parts)
     if cache_path:
-        _save_dataset(cache_path, batch, hand_m)
+        _save_dataset(cache_path, batch, hand_m, meta)
     return batch, hand_m

@@ -462,7 +462,29 @@ def bench_torch_cpu(iters: int = 10) -> float:
     return iters / (time.perf_counter() - t0)
 
 
+def measure_baseline(runs: int = 3):
+    """Best-of-N torch-CPU baseline with a solo-box guard.
+
+    The baseline has ~20 percent run-to-run variance under concurrent CPU
+    load (round-3 verdict weak #7): a contended box deflates the torch
+    number and inflates vs_baseline. Protocol: check the 1-minute load
+    average BEFORE measuring; if other work is running, report the
+    baseline as contended and DON'T claim a vs_baseline ratio. Otherwise
+    take the best of ``runs`` measurements (the least-interfered run is
+    the honest solo number).
+    """
+    import os
+
+    load1 = os.getloadavg()[0]
+    contended = load1 > 1.0  # this 2-vCPU box; bench itself is not yet running
+    fps = max(bench_torch_cpu() for _ in range(runs))
+    return fps, load1, contended
+
+
 def main():
+    import os
+
+    start_load1 = os.getloadavg()[0]
     # the axon TPU grant is single-client; a leftover process can make
     # backend registration fail transiently -- retry in a fresh attempt
     seq_fps = batched_fps = serving_fps = None
@@ -505,11 +527,19 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"profile stats failed: {e}", file=sys.stderr)
     try:
-        base_fps = bench_torch_cpu()
-        vs = batched_fps / base_fps
+        base_fps, base_load1, contended = measure_baseline()
+        contended = contended or start_load1 > 1.0
+        vs = None if contended else batched_fps / base_fps
+        baseline_status = (
+            f"contended(load1={max(base_load1, start_load1):.2f}); "
+            "vs_baseline withheld -- rerun solo"
+            if contended
+            else "solo-best-of-3"
+        )
     except Exception as e:  # noqa: BLE001
         print(f"baseline failed: {e}", file=sys.stderr)
         base_fps = vs = None
+        baseline_status = "failed"
     print(
         json.dumps(
             {
@@ -528,6 +558,7 @@ def main():
                 "baseline_torch_cpu_frames_per_s": None
                 if base_fps is None
                 else round(base_fps, 2),
+                "baseline_status": baseline_status,
                 "live_ms_per_frame_p50": None
                 if live_lat is None
                 else round(live_lat[0], 3),

@@ -1,13 +1,21 @@
 #!/bin/bash
-# Trained-weights dress rehearsal (the checkpoint recipe).
+# Trained-weights dress rehearsal (the checkpoint recipe) -- round 4.
 #
 # Trains BOTH regressor branches on windows produced by the REAL
 # crop/warp pipeline over synthetic-renderer frames posed by the
 # sample_data labels (training/rendered.py), at the serving crop size.
 # recording_11 is held out; the run prints held-out tracked MPJPE.
 #
-# Stage 1 builds the window caches on CPU (no TPU grant held).
-# Stage 2 trains on the TPU through the single-client lock.
+# Round-4 corpus: each training recording is multiplied by AUGMENT extra
+# replicas (skeleton scale 0.8-1.2, pose perturbation within joint
+# limits, wrist trajectory perturbation) whose crops come from jittered
+# poses like serving's tracked-pose crops (augment_labels /
+# crop_jitter_seed in training/rendered.py).
+#
+# Stage 0 builds the window caches on CPU (no TPU grant held).
+# Stage 1 trains at LR1, stage 2 RESUMES the stage-1 state at LR2 --
+# this two-stage schedule IS the recorded recipe; running this script
+# end-to-end reproduces the published checkpoint metrics.
 #
 # Afterwards: benchmarks/rehearsal_bench.py and the eval protocol chain
 # (run_eval_known_skeleton / run_eval_unknown_skeleton / load_eval with
@@ -16,12 +24,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
-STEPS=${STEPS:-600}
+STAGE1_STEPS=${STAGE1_STEPS:-1500}
+STAGE2_STEPS=${STAGE2_STEPS:-2500}
+LR1=${LR1:-3e-4}
+LR2=${LR2:-1e-4}
 BATCH=${BATCH:-16}
-LR=${LR:-3e-4}
+AUGMENT=${AUGMENT:-7}
 CKPT=${CKPT:-tmp/checkpoints/rehearsal.msgpack}
 
-python -u - <<'EOF'
+python -u - <<EOF
 import jax
 jax.config.update("jax_platforms", "cpu")
 from absolutetrack_tpu.models import ModelConfig
@@ -32,7 +43,8 @@ root = "/root/reference/sample_data/user05"
 rendered_dataset(
     [f"{root}/recording_00.json", f"{root}/recording_02.json"],
     window_t=8, stride=4, cfg=cfg,
-    cache_path="tmp/rendered_ds_96_T8_s4_train.npz",
+    augment=${AUGMENT}, crop_jitter=True, seed=0,
+    cache_path="tmp/rendered_ds_96_T8_s4_a${AUGMENT}j_train.npz",
 )
 rendered_dataset(
     [f"{root}/recording_11.json"],
@@ -42,7 +54,14 @@ rendered_dataset(
 print("caches ready")
 EOF
 
-exec scripts/tpu_run.sh 5400 python -u -m absolutetrack_tpu.apps.train \
+scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
     --rendered --input-size 96 --window 8 --rendered-stride 4 \
-    --branch both --steps "$STEPS" --batch "$BATCH" --lr "$LR" \
-    --eval-every 50 --save-every 100 --save "$CKPT"
+    --augment "$AUGMENT" --crop-jitter \
+    --branch both --steps "$STAGE1_STEPS" --batch "$BATCH" --lr "$LR1" \
+    --eval-every 100 --save-every 100 --save "$CKPT"
+
+exec scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
+    --rendered --input-size 96 --window 8 --rendered-stride 4 \
+    --augment "$AUGMENT" --crop-jitter \
+    --branch both --steps "$STAGE2_STEPS" --batch "$BATCH" --lr "$LR2" \
+    --eval-every 100 --save-every 100 --resume "$CKPT.train" --save "$CKPT"

@@ -56,9 +56,58 @@ class TestIdxBin:
 
     def test_bad_magic_raises(self, tmp_path):
         p = tmp_path / "bad.torch.idx"
-        np.zeros(10, np.int64).tofile(str(p))
+        h = np.zeros(10, np.int64)
+        h[0], h[1] = 12345, 1  # wrong magic for version 1
+        h.tofile(str(p))
         with pytest.raises(ValueError):
             TorchIdx(str(p))
+        h[0], h[1] = 7, 0  # v0 requires magic 0
+        h.tofile(str(p))
+        with pytest.raises(ValueError):
+            TorchIdx(str(p))
+        h[0], h[1] = 0, 2  # unsupported version
+        h.tofile(str(p))
+        with pytest.raises(ValueError):
+            TorchIdx(str(p))
+
+    def test_v0_legacy_vintage(self, tmp_path):
+        """Version-0 files (magic 0) are accepted like the reference reader
+        (lib/data_utils/idxbinfile.py:138-140)."""
+        rng = np.random.default_rng(1)
+        elems = [rng.standard_normal((2, 3)).astype(np.float32) for _ in range(4)]
+        p = str(tmp_path / "field.torch.idx")
+        write_torch_idx(p, elems)
+        h = np.fromfile(p, np.int64)
+        h[0], h[1] = 0, 0
+        h.tofile(p)
+        r = TorchIdx(p)
+        assert r.is_uniform and r.shape == (4, 2, 3)
+        for i in range(4):
+            np.testing.assert_array_equal(r[i], elems[i])
+        np.testing.assert_array_equal(r.as_array(), np.stack(elems))
+
+    def test_uniform_nonzero_first_offset(self, tmp_path):
+        """Uniform files whose first data offset is nonzero (shared .bin with
+        a prefix) keep the zero-copy fast path, like the reference's stored
+        byte offsets (idxbinfile.py:176-188)."""
+        elems = [np.full((2, 2), i, np.float32) for i in range(3)]
+        p = str(tmp_path / "field.torch.idx")
+        write_torch_idx(p, elems)
+        # Prepend one element's worth of garbage to the .bin and shift offsets.
+        h = np.fromfile(p, np.int64)
+        n = int(h[4])
+        data_ofs_start = 6 + n + 1
+        h[data_ofs_start : data_ofs_start + n + 1] += 4  # 4 floats
+        h.tofile(p)
+        binp = p[:-4] + ".bin"
+        payload = open(binp, "rb").read()
+        with open(binp, "wb") as f:
+            f.write(b"\xff" * 16 + payload)
+        r = TorchIdx(p)
+        assert r.is_uniform and r.shape == (3, 2, 2)
+        for i in range(3):
+            np.testing.assert_array_equal(r[i], elems[i])
+        np.testing.assert_array_equal(r.as_array(), np.stack(elems))
 
 
 class TestDataset:
@@ -71,6 +120,21 @@ class TestDataset:
         )
         write_torch_idx(str(d / "labels.torch.idx"), [{"i": i} for i in range(n)])
         return str(d)
+
+    def test_packed_dataset_v0_vintage(self, tmp_path):
+        d = self._make_folder(tmp_path, "rec_v0", 3)
+        import os
+
+        for name in ("mono.torch.idx", "labels.torch.idx"):
+            p = os.path.join(d, name)
+            h = np.fromfile(p, np.int64)
+            h[0], h[1] = 0, 0
+            h.tofile(p)
+        ds = PackedDataset([d], ["mono", "labels"])
+        assert len(ds) == 3
+        s = ds[2]
+        assert s["labels"]["i"] == 2
+        assert s["mono"][0, 0] == 2
 
     def test_discovery_and_concat(self, tmp_path):
         self._make_folder(tmp_path, "rec_a", 3)

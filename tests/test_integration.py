@@ -119,6 +119,39 @@ class TestPackedPath:
         assert err.shape == (2,)
         assert np.isfinite(err).all()
 
+    def test_batched_windows_match_b1(self, tmp_path, model):
+        """W windows per dispatch (the reference's bs=160 lockstep,
+        run_inference_torch_data.py:164-185) must reproduce the B=1 loop's
+        per-window errors exactly -- per-window compute is independent."""
+        from absolutetrack_tpu.apps import pack_sample_data, run_inference_torch_data
+        from absolutetrack_tpu.data import PackedDataset, find_dataset_folders
+        from absolutetrack_tpu.data.transform import preprocess_packed
+
+        out = str(tmp_path / "torch_data")
+        pack_sample_data.main(
+            ["--input-dir", os.path.dirname(LABELS), "--output-dir", out,
+             "--window", "2", "--max-frames", "6"]
+        )
+        ds = PackedDataset(find_dataset_folders(out, ["mono", "labels"]),
+                           ["mono", "labels"])
+        n = min(len(ds), 3)
+        seqs = [
+            preprocess_packed(np.asarray(ds[i]["mono"]), ds[i]["labels"])
+            for i in range(n)
+        ]
+        single = np.stack([
+            np.asarray(run_inference_torch_data.eval_window(model, s))
+            for s in seqs
+        ])
+        stacked = run_inference_torch_data.stack_windows(seqs + [seqs[-1]])
+        batched = np.asarray(
+            run_inference_torch_data.eval_windows_batched(model, stacked)
+        )
+        assert batched.shape == (n + 1, single.shape[1])
+        np.testing.assert_allclose(batched[:n], single, rtol=1e-6, atol=1e-4)
+        # the pad row repeats the last real window
+        np.testing.assert_allclose(batched[n], single[-1], rtol=1e-6, atol=1e-4)
+
 
 class TestEvalApps:
     def test_known_skeleton_app_and_aggregation(self, tmp_path):

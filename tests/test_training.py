@@ -191,7 +191,11 @@ class TestTrainStep:
         b2, _ = rendered_windows_from_labels(
             labels, starts, 2, cfg=CFG, chunk_windows=1
         )
-        np.testing.assert_array_equal(batch.images, b2.images)
+        # 1-LSB tolerance: two differently-batched XLA executables may
+        # round a bilinear value on a 0.5/255 boundary differently
+        np.testing.assert_allclose(
+            batch.images.astype(np.int16), b2.images.astype(np.int16), atol=1
+        )
         np.testing.assert_allclose(
             batch.extrinsics, b2.extrinsics, atol=1e-6
         )
@@ -238,6 +242,99 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["total"]))
         assert "landmark_l2_m" in metrics  # known branch
         assert "u_skel_scale_logmse" in metrics  # unknown branch
+
+    def test_augmented_rendered_corpus(self, tmp_path):
+        """Round-4 corpus scaling (training/rendered.py augment_labels):
+        augmented replicas must stay self-consistent -- FK of the stored GT
+        reproduces the renderer's world landmarks for BOTH hands -- with
+        the skeleton scale drawn from [0.8, 1.2] and joint angles inside
+        the model's limits; the dataset cache must rebuild when its build
+        parameters change instead of silently serving stale windows."""
+        from absolutetrack_tpu.tracker.tracker import MM_TO_M
+        from absolutetrack_tpu.tracker.video_data import load_labels
+        from absolutetrack_tpu.training.rendered import (
+            _gt_landmarks_mm,
+            augment_labels,
+            rendered_dataset,
+            rendered_windows_from_labels,
+        )
+        from absolutetrack_tpu.kinematics.skinning import skin_landmarks
+
+        base = load_labels(
+            "/root/reference/sample_data/user05/recording_00.json"
+        )
+        aug = augment_labels(base, seed=42)
+
+        s = float(
+            np.linalg.norm(
+                np.asarray(aug.hand_model.joint_rest_positions), axis=-1
+            ).sum()
+            / np.linalg.norm(
+                np.asarray(base.hand_model.joint_rest_positions), axis=-1
+            ).sum()
+        )
+        assert 0.8 - 1e-5 <= s <= 1.2 + 1e-5
+        jl = np.asarray(base.hand_model.joint_limits)
+        assert (aug.joint_angles >= jl[:, 0] - 1e-5).all()
+        assert (aug.joint_angles <= jl[:, 1] + 1e-5).all()
+        rot = aug.wrist_transforms[..., :3, :3]
+        np.testing.assert_allclose(
+            rot @ np.swapaxes(rot, -1, -2),
+            np.broadcast_to(np.eye(3), rot.shape),
+            atol=1e-5,
+        )
+
+        starts = [100, 140]
+        batch, hand_m = rendered_windows_from_labels(
+            aug, starts, 2, cfg=CFG, crop_jitter_seed=7
+        )
+        t, b = batch.gt_joint_angles.shape[:2]
+        hand_tb = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (t,) + x.shape), hand_m
+        )
+        lm = np.asarray(
+            skin_landmarks(
+                hand_tb,
+                jnp.asarray(batch.gt_joint_angles),
+                jnp.asarray(batch.gt_wrist),
+            )
+        )
+        world_mm = _gt_landmarks_mm(aug)
+        for wi, st in enumerate(starts):
+            for dt in range(2):
+                for h in range(2):
+                    np.testing.assert_allclose(
+                        lm[dt, wi * 2 + h],
+                        world_mm[st + dt, h] * MM_TO_M,
+                        atol=1e-5,
+                    )
+        # the scale target moved by the augmentation factor
+        base_batch, _ = rendered_windows_from_labels(base, starts[:1], 2, cfg=CFG)
+        np.testing.assert_allclose(
+            np.exp(batch.gt_log_scale[0] - base_batch.gt_log_scale[0]),
+            s,
+            rtol=1e-4,
+        )
+
+        # cache metadata: same params -> served from cache; changed params
+        # -> rebuilt (here: augment 0 -> 1 doubles the corpus)
+        cache = str(tmp_path / "ds.npz")
+        paths = ["/root/reference/sample_data/user05/recording_00.json"]
+        b0, _ = rendered_dataset(
+            paths, window_t=2, stride=200, cfg=CFG,
+            max_windows_per_recording=2, cache_path=cache,
+        )
+        b0_again, _ = rendered_dataset(
+            paths, window_t=2, stride=200, cfg=CFG,
+            max_windows_per_recording=2, cache_path=cache,
+        )
+        np.testing.assert_array_equal(b0.images, b0_again.images)
+        b1, _ = rendered_dataset(
+            paths, window_t=2, stride=200, cfg=CFG,
+            max_windows_per_recording=2, cache_path=cache,
+            augment=1, crop_jitter=True,
+        )
+        assert b1.hand_idx.shape[0] == 2 * b0.hand_idx.shape[0]
 
     def test_masked_samples_do_not_contribute(self):
         """Loss with half the batch masked == loss of the unmasked half."""
