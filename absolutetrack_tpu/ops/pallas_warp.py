@@ -124,6 +124,22 @@ _TWOPASS_MIN_TILES = 2048  # below this the single narrow kernel is cheaper
 _MAX_SLOTS = 768
 
 
+_INT8_WINDOW = False  # module switch: int8 MXU row mix (see _tile_contrib)
+
+
+def set_int8_window(enabled: bool) -> bool:
+    """Toggle the int8 MXU row-mix format (uint8 sources only).
+
+    Trace-time switch: flip BEFORE building/jitting the step that calls
+    ``bilinear_sample_mxu``; already-compiled executables keep the format
+    they were traced with. Returns the previous value.
+    """
+    global _INT8_WINDOW
+    prev = _INT8_WINDOW
+    _INT8_WINDOW = bool(enabled)
+    return prev
+
+
 def _tile_contrib(x, y, window, base, cbase):
     """One window's bilinear contribution for a 512-pixel tile -> (P,) f32.
 
@@ -132,30 +148,42 @@ def _tile_contrib(x, y, window, base, cbase):
     exactly 0. (A split two-half-window matmul variant measured ~2% slower
     than the single concatenated window; Mosaic handles the in-VMEM concat
     fine.)
+
+    Two MXU number formats for the row-mix matmul:
+    * bf16 (default): weights cast to bf16 (~4e-3 relative quantization,
+      ~8x finer than cv2.remap's own 1/32 fixed-point weights).
+    * int8 (``_INT8_WINDOW``, uint8 windows only): weights quantized to
+      q = round(w * 127) (1/127 steps, ~4x finer than cv2), window biased
+      to window - 128 in int8; the matmul runs at the MXU's 2x int8 peak
+      and the bias is undone EXACTLY via the per-pixel quantized weight
+      row sum: acc + 128 * rowsum = sum_r q_r * window_r, so the only
+      error is the 1/127 weight quantization itself. Costs one extra
+      (P, 1-wide) int32 matmul column + an (P, W) int32->f32 dequant.
     """
     p = x.shape[0]
     band2 = window.shape[0]
     # (Mosaic iota is integer-only; cast for the hat arithmetic)
     iota_r = lax.broadcasted_iota(jnp.int32, (p, band2), 1).astype(jnp.float32)
-    # bf16 inputs + f32 accumulate: doubles MXU rate. The hat is computed
-    # in f32 (bf16 ulp near y ~ 100 is a whole pixel) and only the WEIGHT
-    # in [0, 1] is cast: that quantization (~4e-3 relative) is ~8x FINER
-    # than cv2.remap's own INTER_LINEAR fixed-point weights (5 fractional
-    # bits, 1/32 steps, the reference's sampler) -- still sub-LSB for
-    # uint8-valued sources.
     rowmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - (y[:, None] - base)))
-    if window.dtype == jnp.uint8:
-        # uint8 sources convert here, in VMEM: the HBM window DMA moves 1
-        # byte/px instead of 2 and the whole-image pad+convert disappears
-        # (bf16 represents 0..255 exactly, so the math is unchanged).
-        # Mosaic has no direct u8->bf16 cast; u8->i32->bf16 is supported
-        # and exact for 0..255.
-        window = window.astype(jnp.int32).astype(jnp.bfloat16)
-    tmp = jnp.dot(
-        rowmix.astype(jnp.bfloat16),
-        window.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    if _INT8_WINDOW and window.dtype == jnp.uint8:
+        q = jnp.round(rowmix * 127.0).astype(jnp.int8)  # (P, 2B)
+        w_i8 = (window.astype(jnp.int32) - 128).astype(jnp.int8)
+        acc = jnp.dot(q, w_i8, preferred_element_type=jnp.int32)  # (P, W)
+        rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # (P, 1)
+        tmp = (acc + 128 * rowsum).astype(jnp.float32) * (1.0 / 127.0)
+    else:
+        if window.dtype == jnp.uint8:
+            # uint8 sources convert here, in VMEM: the HBM window DMA moves
+            # 1 byte/px instead of 2 and the whole-image pad+convert
+            # disappears (bf16 represents 0..255 exactly, so the math is
+            # unchanged). Mosaic has no direct u8->bf16 cast; u8->i32->bf16
+            # is supported and exact for 0..255.
+            window = window.astype(jnp.int32).astype(jnp.bfloat16)
+        tmp = jnp.dot(
+            rowmix.astype(jnp.bfloat16),
+            window.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
 
     iota_w = lax.broadcasted_iota(jnp.int32, (p, window.shape[1]), 1).astype(
         jnp.float32

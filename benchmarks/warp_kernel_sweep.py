@@ -38,18 +38,27 @@ TILE = 512
 HP, WP = 512, 640
 
 
-def tile_contrib(x, y, window, base, cbase):
+def tile_contrib(x, y, window, base, cbase, int8=False):
     p = x.shape[0]
     band2 = window.shape[0]
     iota_r = lax.broadcasted_iota(jnp.int32, (p, band2), 1).astype(jnp.float32)
     rowmix = jnp.maximum(0.0, 1.0 - jnp.abs(iota_r - (y[:, None] - base)))
-    if window.dtype == jnp.uint8:
-        window = window.astype(jnp.int32).astype(jnp.bfloat16)
-    tmp = jnp.dot(
-        rowmix.astype(jnp.bfloat16),
-        window.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    if int8:
+        # int8 MXU contraction (2x peak): weights in 1/127 steps, window
+        # biased -128; bias undone exactly via quantized row sums
+        q = jnp.round(rowmix * 127.0).astype(jnp.int8)
+        w_i8 = (window.astype(jnp.int32) - 128).astype(jnp.int8)
+        acc = jnp.dot(q, w_i8, preferred_element_type=jnp.int32)
+        rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)
+        tmp = (acc + 128 * rowsum).astype(jnp.float32) * (1.0 / 127.0)
+    else:
+        if window.dtype == jnp.uint8:
+            window = window.astype(jnp.int32).astype(jnp.bfloat16)
+        tmp = jnp.dot(
+            rowmix.astype(jnp.bfloat16),
+            window.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     iota_w = lax.broadcasted_iota(jnp.int32, (p, window.shape[1]), 1).astype(
         jnp.float32
     )
@@ -58,7 +67,7 @@ def tile_contrib(x, y, window, base, cbase):
 
 
 def make_kernel(m_px, wr, wc, nodma=False, nomix=False, noconv=False,
-                nodot=False):
+                nodot=False, int8=False):
     """Fused slot-grid kernel: T = P // m_px iters, (wr, wc) window."""
     t = P // m_px
 
@@ -120,7 +129,7 @@ def make_kernel(m_px, wr, wc, nodma=False, nomix=False, noconv=False,
                 tmp = jnp.dot(rowmix, w2, preferred_element_type=jnp.float32)
                 out = tmp[:, :1].reshape(-1) + x * 0 + y * 0 + base + cbase
             else:
-                out = tile_contrib(x, y, win, base, cbase)
+                out = tile_contrib(x, y, win, base, cbase, int8=int8)
             out_ref[0, pl.ds(j * m_px // 64, m_px // 64)] = out.reshape(
                 m_px // 64, 64
             )
@@ -342,6 +351,11 @@ def main():
     bench_variant("pair256x384", 1024, 256, 384)
     bench_variant("quad256x384", 2048, 256, 384)
     bench_variant("pair192c256", 1024, 192, 256)
+    # int8 MXU contraction at the shipped operating point: 2x MXU peak,
+    # + quantize/dequant VPU cost -- the round-3 verdict's "measure, don't
+    # argue" item (a). Directly comparable to pair256x384 above.
+    bench_variant("pair384_int8", 1024, 256, 384, int8=True)
+    bench_variant("quad384_int8", 2048, 256, 384, int8=True)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,52 @@ class TestOneHotMxuWarp:
         a2 = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
         np.testing.assert_allclose(a2, b, atol=1.1)
 
+    def test_int8_window_variant(self):
+        """int8 MXU row mix (2x MXU peak on uint8 sources): weights quantize
+        to 1/127 steps -- ~4x finer than cv2.remap's 1/32 fixed point -- and
+        the window's -128 bias must cancel EXACTLY via the quantized row
+        sums, so worst-case error vs the f32 gather oracle is bounded by
+        the weight quantization alone: two row weights each off by at most
+        1/254 against values <= 255 -> |err| <= 2.01 LSB (typically ~0.5)."""
+        from absolutetrack_tpu.ops import pallas_warp as pw
+
+        rng = np.random.default_rng(33)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636), dtype=np.uint8))
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        y = 120 + gy[None] * 2.2 + rng.uniform(0, 1, (2, 96, 96))
+        x = 300 + gx[None] * 2.4 + rng.uniform(0, 1, (2, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        b = np.asarray(bilinear_sample(imgs, idx, coords))
+        prev = pw.set_int8_window(True)
+        try:
+            a = np.asarray(
+                bilinear_sample_mxu(
+                    imgs, idx, coords, interpret=True, crop_hw=(96, 96)
+                )
+            )
+            a_cover = np.asarray(
+                bilinear_sample_mxu(imgs, idx, coords, interpret=True)
+            )
+        finally:
+            pw.set_int8_window(prev)
+        np.testing.assert_allclose(a, b, atol=2.1)
+        np.testing.assert_allclose(a_cover, b, atol=2.1)
+        # f32 sources must be untouched by the switch (bf16 path)
+        prev = pw.set_int8_window(True)
+        try:
+            af = np.asarray(
+                bilinear_sample_mxu(
+                    imgs.astype(jnp.float32), idx, coords, interpret=True,
+                    crop_hw=(96, 96),
+                )
+            )
+        finally:
+            pw.set_int8_window(prev)
+        np.testing.assert_allclose(af, b, atol=1.1)
+
     def test_narrow_blocked_path(self):
         # realistic crop-like mappings (moderate gradients, one upright and
         # one rotated slot): the blocked enumeration must fit the narrow
