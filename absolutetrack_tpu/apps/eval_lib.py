@@ -88,7 +88,7 @@ def track_recording(
     labels: HandPoseLabels,
     frames: Iterable[np.ndarray],
     hand_model_mm: Optional[HandModel] = None,
-    opts: TrackerConfig = TrackerConfig(),
+    opts: Optional[TrackerConfig] = None,
     min_num_crops: int = 1,
     calibrate_scale: bool = False,
     max_frames: Optional[int] = None,
@@ -114,6 +114,10 @@ def track_recording(
     """
     from ..tracker import track_chunk_eval
 
+    if opts is None:
+        # crops must match the network's input size (a tiny-arch model
+        # with the default 96x96 crops fails at the memory concat)
+        opts = TrackerConfig(crop_size=model.cfg.input_size)
     tracker = HandTracker(model, opts)
     hand_mm = hand_model_mm if hand_model_mm is not None else labels.hand_model
 
@@ -249,7 +253,7 @@ def track_recordings_batched(
     model: UmeTrackModel,
     recordings,  # list of (HandPoseLabels, frame iterable) pairs
     hand_models_mm: Optional[list] = None,  # per-recording tracking skeletons
-    opts: TrackerConfig = TrackerConfig(),
+    opts: Optional[TrackerConfig] = None,
     min_num_crops: int = 1,
     calibrate_scale: bool = False,
     max_frames: Optional[int] = None,
@@ -286,6 +290,8 @@ def track_recordings_batched(
     assert len(kinds) == 1 and len(views) == 1, "recordings must share rig layout"
     src_kind = labels_list[0].camera_kind
 
+    if opts is None:
+        opts = TrackerConfig(crop_size=model.cfg.input_size)
     tracker = BatchedTracker(model, opts)
     hands_mm = (
         hand_models_mm

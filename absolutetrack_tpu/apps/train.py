@@ -96,6 +96,11 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
+    ap.add_argument(
+        "--tiny-arch", action="store_true",
+        help="ModelConfig.tiny(): reduced-width topology matching the eval "
+        "apps' --tiny-arch (the trained-protocol-chain regression recipe)",
+    )
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=4)
@@ -119,7 +124,12 @@ def main(argv=None):
     enable_compilation_cache()
 
     if args.synthetic or args.rendered:
-        cfg = ModelConfig(input_size=(args.input_size, args.input_size))
+        if args.tiny_arch:
+            cfg = ModelConfig.tiny(
+                input_size=(args.input_size, args.input_size)
+            )
+        else:
+            cfg = ModelConfig(input_size=(args.input_size, args.input_size))
         ds = None
     else:
         folders = find_dataset_folders(args.data_root, ["mono", "labels"])

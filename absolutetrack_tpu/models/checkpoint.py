@@ -70,10 +70,13 @@ def load_any(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
         return load_params(path, cfg)
     except Exception as e:
         raise ValueError(
-            f"{path}: not a native flax-msgpack checkpoint (and magic bytes "
-            f"{magic!r} are not a torch zip/pickle). Supported formats: "
-            "native .msgpack from save_params, or a torch state dict "
-            "(.torch/.pt/.pth)."
+            f"{path}: failed to load as a native flax-msgpack checkpoint "
+            f"(magic bytes {magic!r} are not a torch zip/pickle either). "
+            "If the file IS a native checkpoint, the configured "
+            "architecture likely does not match the one it was saved from "
+            f"(cfg={cfg}); otherwise the supported formats are native "
+            ".msgpack from save_params or a torch state dict "
+            "(.torch/.pt/.pth). Original error follows."
         ) from e
 
 

@@ -1,0 +1,86 @@
+"""Trained-checkpoint protocol-chain regression test (round-4 item 2).
+
+Trains a FIXED-SEED tiny-arch model through the real rendered-window
+pipeline (~2 min CPU with warm caches), then runs the FULL app surface
+from the saved checkpoint -- run_eval_known_skeleton ->
+run_eval_unknown_skeleton -> load_eval -- and pins the end-of-chain
+metrics. Rounds 5+ catch drift anywhere in the train->checkpoint->eval
+chain through the apps themselves, not just module parity.
+
+Pinned bounds come from the measured operating point (tmp/chain_driver
+runs, round 4): known 114 mm / unknown 136 mm mean keypoint error at
+success rate 1.0 with calibrated scales ~1.0. Bounds are ~1.8x loose to
+absorb cross-version XLA:CPU numeric drift while still catching the
+failure modes that matter (lost tracking, exploded errors, a broken
+branch, scale calibration going wild).
+
+Reference protocol being chained: run_eval_known_skeleton.py:48-123 and
+run_eval_unknown_skeleton.py:49-78.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_trained_protocol_chain(tmp_path):
+    from absolutetrack_tpu.apps import (
+        load_eval,
+        run_eval_known_skeleton,
+        run_eval_unknown_skeleton,
+    )
+    from absolutetrack_tpu.apps import train as train_app
+
+    ckpt = str(tmp_path / "chain.msgpack")
+
+    # fixed-seed tiny-arch train on the rendered corpus (both branches --
+    # the unknown protocol needs the scale head)
+    train_app.main([
+        "--rendered", "--tiny-arch", "--input-size", "32", "--window", "4",
+        "--rendered-stride", "12", "--augment", "1", "--crop-jitter",
+        "--branch", "both", "--steps", "120", "--batch", "8", "--lr", "3e-4",
+        "--eval-every", "60", "--save-every", "1000", "--save", ckpt,
+        "--seed", "7",
+    ])
+    assert os.path.exists(ckpt)
+
+    known_dir = str(tmp_path / "known")
+    run_eval_known_skeleton.main([
+        "--input-dir", "/root/reference/sample_data/user05",
+        "--output-dir", known_dir,
+        "--checkpoint", ckpt, "--tiny-arch", "--max-frames", "20",
+        "--override",
+    ])
+    unknown_dir = str(tmp_path / "unknown")
+    run_eval_unknown_skeleton.main([
+        "--input-dir", "/root/reference/sample_data/user05",
+        "--output-dir", unknown_dir,
+        "--checkpoint", ckpt, "--tiny-arch", "--max-frames", "20",
+        "--override",
+    ])
+
+    mk = load_eval.aggregate_metrics(known_dir)
+    mu = load_eval.aggregate_metrics(unknown_dir)
+
+    # end-of-chain pins (measured round-4 operating point in docstring)
+    assert mk["n_total"] == 3 * 20 * 2  # 3 recordings x 20 frames x 2 hands
+    assert mk["success_rate"] == 1.0, mk
+    assert 20.0 < mk["mean_keypoint_error_mm"] < 200.0, mk
+    assert mu["success_rate"] == 1.0, mu
+    assert 20.0 < mu["mean_keypoint_error_mm"] < 250.0, mu
+
+    # the calibrated scales the unknown protocol wrote must be sane and
+    # consistent (same user in every recording)
+    scales = []
+    for root, _dirs, files in os.walk(unknown_dir):
+        for f in files:
+            if f.endswith(".npy"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    scales.append(pickle.load(fh)["calibrated_scale"])
+    assert len(scales) == 3
+    scales = np.asarray(scales)
+    assert (scales > 0.85).all() and (scales < 1.25).all(), scales
+    assert scales.std() < 0.1, scales
