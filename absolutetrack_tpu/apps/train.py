@@ -93,6 +93,15 @@ def main(argv=None):
         help="build augmented replicas' crops from jittered poses "
         "(simulates serving's imperfect tracked-pose crops)",
     )
+    ap.add_argument(
+        "--augment-trans-mm", type=float, default=25.0,
+        help="wrist translation perturbation scale for --augment replicas "
+        "(larger = more stereo-depth diversity)",
+    )
+    ap.add_argument(
+        "--augment-rot-deg", type=float, default=10.0,
+        help="wrist rotation perturbation scale for --augment replicas",
+    )
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
@@ -164,14 +173,21 @@ def main(argv=None):
             f"_s{args.rendered_stride}"
         )
         tag = base_tag
+        aug_kwargs = {}
         if args.augment:
             tag += f"_a{args.augment}" + ("j" if args.crop_jitter else "")
+            if args.augment_trans_mm != 25.0:
+                aug_kwargs["wrist_trans_mm"] = args.augment_trans_mm
+                tag += f"_t{args.augment_trans_mm:g}"
+            if args.augment_rot_deg != 10.0:
+                aug_kwargs["wrist_rot_deg"] = args.augment_rot_deg
+                tag += f"_r{args.augment_rot_deg:g}"
         train_b, train_h = rendered_dataset(
             [f"{root}/recording_00.json", f"{root}/recording_02.json"],
             window_t=args.window, stride=args.rendered_stride, cfg=cfg,
             cache_path=f"{tag}_train.npz",
             augment=args.augment, crop_jitter=args.crop_jitter,
-            seed=args.seed,
+            seed=args.seed, augment_kwargs=aug_kwargs,
         )
         held_b, held_h = rendered_dataset(
             [f"{root}/recording_11.json"],

@@ -81,8 +81,12 @@ def _pick_sampler(method: str, n_pixels: int, n_slots: int, img_hw):
     if method == "auto":
         import jax
 
-        on_tpu = jax.default_backend() not in ("cpu",)
-        method = "mxu" if on_tpu else "gather"
+        # respect an active jax.default_device(cpu) context (utils.runtime
+        # .on_cpu): the computation runs on CPU there even when the default
+        # BACKEND is a TPU, and the Pallas kernel only interprets on CPU
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        method = "mxu" if platform not in ("cpu",) else "gather"
     if method == "mxu":
         from .pallas_warp import bilinear_sample_mxu
 

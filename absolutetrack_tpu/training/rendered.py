@@ -429,6 +429,7 @@ def rendered_dataset(
     crop_jitter: bool = False,
     seed: int = 0,
     blob_sigma: float = 3.0,
+    augment_kwargs: Optional[dict] = None,
 ) -> Tuple[SequenceBatch, HandModel]:
     """Windows from several label JSONs, optionally cached as one .npz.
 
@@ -454,6 +455,7 @@ def rendered_dataset(
         "crop_jitter": bool(crop_jitter),
         "seed": int(seed),
         "max_windows": int(max_windows_per_recording or 0),
+        "augment_kwargs": dict(augment_kwargs or {}),
     }
     if cache_path and os.path.exists(cache_path):
         batch, hand_m, cached_meta = _load_dataset(cache_path)
@@ -471,7 +473,11 @@ def rendered_dataset(
         base = load_labels(p)
         for r in range(augment + 1):
             rseed = seed * 7919 + pi * 131 + r
-            lv = base if r == 0 else augment_labels(base, seed=rseed)
+            lv = (
+                base
+                if r == 0
+                else augment_labels(base, seed=rseed, **(augment_kwargs or {}))
+            )
             starts = list(range(0, len(lv) - window_t, stride))
             if max_windows_per_recording:
                 starts = starts[:max_windows_per_recording]
