@@ -415,14 +415,18 @@ def _mark_and_stack(valid, xs, ys):
     )
 
 
-def _plan_lines(x, y, h, w, n, p, p_pad, crop_hw) -> _Plan:
+def _plan_lines(x, y, h, w, n, p, p_pad, crop_hw, valid_hw=None) -> _Plan:
     """LINE-major enumeration: per-slot row-major vs column-major routing
-    by total row span (full-width window; only rows must fit)."""
+    by total row span (full-width window; only rows must fit).
+
+    ``valid_hw``: true source extent when ``(h, w)`` are pre-padded dims
+    (pixels beyond it are out-of-bounds, exactly as if unpadded)."""
+    hv, wv = valid_hw or (h, w)
     t = p_pad // _TILE
     hp = _round_up(h, 2 * _BAND)
     x_rm = _pad_tiles(x, p, p_pad)
     y_rm = _pad_tiles(y, p, p_pad)
-    valid_n, ylo_n, yhi_n, _, _ = _tile_extents(x_rm, y_rm, h, w, n, t)
+    valid_n, ylo_n, yhi_n, _, _ = _tile_extents(x_rm, y_rm, hv, wv, n, t)
     if crop_hw is not None:
         hc, wc = crop_hw
         # column-major enumeration of the same crop pixels: a tile then
@@ -432,7 +436,7 @@ def _plan_lines(x, y, h, w, n, p, p_pad, crop_hw) -> _Plan:
             a.reshape(n, hc, wc).transpose(0, 2, 1).reshape(n, p), p, p_pad
         )
         x_cm, y_cm = cm(x), cm(y)
-        valid_t, ylo_t, yhi_t, _, _ = _tile_extents(x_cm, y_cm, h, w, n, t)
+        valid_t, ylo_t, yhi_t, _, _ = _tile_extents(x_cm, y_cm, hv, wv, n, t)
         span_n = jnp.sum(jnp.maximum(yhi_n - jnp.minimum(ylo_n, yhi_n), 0), -1)
         span_t = jnp.sum(jnp.maximum(yhi_t - jnp.minimum(ylo_t, yhi_t), 0), -1)
         rot = span_t < span_n  # (N,)
@@ -467,9 +471,10 @@ def _blocked_unperm(a, n, hc, wc, bh, bw):
     )
 
 
-def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
+def _plan_blocked(x, y, h, w, n, p, crop_hw, valid_hw=None) -> Optional[_Plan]:
     """BLOCKED enumeration: (16, 32) / (32, 16) crop-pixel blocks as tiles,
     orientation routed per slot; both axes banded (narrow window)."""
+    hv, wv = valid_hw or (h, w)
     hc, wc = crop_hw
     bh, bw = _BLK
     if hc % max(bh, bw) or wc % max(bh, bw):
@@ -484,7 +489,7 @@ def _plan_blocked(x, y, h, w, n, p, crop_hw) -> Optional[_Plan]:
     for (obh, obw) in (( bh, bw), (bw, bh)):
         xs = _blocked_perm(x, n, hc, wc, obh, obw)
         ys = _blocked_perm(y, n, hc, wc, obh, obw)
-        valid, ylo, yhi, xlo, xhi = _tile_extents(xs, ys, h, w, n, t)
+        valid, ylo, yhi, xlo, xhi = _tile_extents(xs, ys, hv, wv, n, t)
         k, fit_r = _row_placement(ylo, yhi, hp)
         kc, fit_c = _col_placement(xlo, xhi, wp)
         fit = fit_r & fit_c
@@ -541,8 +546,16 @@ def bilinear_sample_mxu(
     #                       crop_hw is given
     interpret: bool = False,
     crop_hw: Optional[Tuple[int, int]] = None,  # (crop_h, crop_w), P = h*w
+    src_valid_hw: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Orientation-routed hat-matmul bilinear sampling -> (N, P).
+
+    ``src_valid_hw``: pass the TRUE source extent when ``images`` arrive
+    already zero-padded to window-aligned dims ((512k, 128k)): sampling
+    semantics stay those of the unpadded source (coords beyond the valid
+    extent are out-of-bounds) while the per-dispatch device-side
+    ``jnp.pad`` of the whole image batch disappears (profiled ~0.8 ms per
+    128-frame serving dispatch).
 
     Any P (padded internally to a 512 multiple) and any slot count N (the
     grid streams one (slot, window) block set per step; nothing scales
@@ -563,20 +576,27 @@ def bilinear_sample_mxu(
                 coords[i : i + slab],
                 interpret=interpret,
                 crop_hw=crop_hw,
+                src_valid_hw=src_valid_hw,
             )
             for i in range(0, n, slab)
         ]
         return jnp.concatenate(outs, axis=0)
     v, h, w = images.shape
+    valid_hw = src_valid_hw
+    if valid_hw is not None:
+        hv, wv = valid_hw
+        assert hv <= h and wv <= w, (valid_hw, images.shape)
     x = coords[..., 0].astype(jnp.float32)  # planar: no (N, P, 2) operand
     y = coords[..., 1].astype(jnp.float32)
 
     p_pad = _round_up(p, _TILE)
 
     route = crop_hw is not None and crop_hw[0] * crop_hw[1] == p
-    lines = _plan_lines(x, y, h, w, n, p, p_pad, crop_hw if route else None)
+    lines = _plan_lines(
+        x, y, h, w, n, p, p_pad, crop_hw if route else None, valid_hw
+    )
     blocked = (
-        _plan_blocked(x, y, h, w, n, p, crop_hw) if route else None
+        _plan_blocked(x, y, h, w, n, p, crop_hw, valid_hw) if route else None
     )
 
     hp = _round_up(h, 2 * _BAND)

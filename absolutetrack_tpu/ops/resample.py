@@ -26,15 +26,18 @@ def bilinear_sample(
     images: jnp.ndarray,  # (V, H, W)
     image_idx: jnp.ndarray,  # (N,) int -- which source image each slot reads
     coords: jnp.ndarray,  # (N, P, 2) source pixel coords (x, y)
+    src_valid_hw: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Bilinear sampling with zero padding outside the source image.
 
     Matches cv2.remap(INTER_LINEAR, BORDER_CONSTANT 0) semantics used by the
     reference (tracker.py:87) up to border-pixel handling: coordinates with
     any neighbor outside the image return 0.
+    ``src_valid_hw``: true source extent when ``images`` are pre-padded
+    (identical results to sampling the unpadded source).
     Returns (N, P).
     """
-    H, W = images.shape[-2], images.shape[-1]
+    H, W = src_valid_hw or (images.shape[-2], images.shape[-1])
     x = coords[..., 0]
     y = coords[..., 1]
     x0 = jnp.floor(x)
@@ -93,7 +96,9 @@ def _pick_sampler(method: str, n_pixels: int, n_slots: int, img_hw):
         return bilinear_sample_mxu
     # the gather path needs no orientation routing; accept and ignore the
     # crop-shape hint so callers can pass it uniformly
-    return lambda imgs, idx, coords, crop_hw=None: bilinear_sample(imgs, idx, coords)
+    return lambda imgs, idx, coords, crop_hw=None, src_valid_hw=None: (
+        bilinear_sample(imgs, idx, coords, src_valid_hw=src_valid_hw)
+    )
 
 
 def warp_perspective_crop(
@@ -105,8 +110,13 @@ def warp_perspective_crop(
     src_kind: str = cam.FISHEYE62,
     depth_check: bool = True,
     method: str = "auto",
+    src_valid_hw: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Extract N pinhole crops from fisheye source views -> (N, h, w).
+
+    ``src_valid_hw``: true (H, W) of the sensor when ``src_images`` arrive
+    pre-padded to warp-window-aligned dims (kills the per-dispatch device
+    pad; sampling semantics unchanged).
 
     Per destination pixel: unproject through the crop camera, to world, into
     the source camera's eye space, project + distort to source pixels, then
@@ -133,7 +143,10 @@ def warp_perspective_crop(
     sampler = _pick_sampler(
         method, h * w, n, (src_images.shape[-2], src_images.shape[-1])
     )
-    out = sampler(src_images, src_view_idx, src_win, crop_hw=(h, w))
+    out = sampler(
+        src_images, src_view_idx, src_win, crop_hw=(h, w),
+        src_valid_hw=src_valid_hw,
+    )
     return out.reshape(n, h, w)
 
 

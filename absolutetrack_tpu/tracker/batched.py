@@ -114,6 +114,7 @@ class BatchedTracker:
             crop_cam,
             self.opts.crop_size,
             src_kind=src_kind,
+            src_valid_hw=self.opts.src_valid_hw,
         )
         crops = crops.reshape(
             r * NUM_HANDS, MAX_VIEWS, self.opts.crop_size[1], self.opts.crop_size[0]

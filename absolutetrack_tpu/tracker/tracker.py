@@ -46,6 +46,11 @@ class TrackerConfig:
     hand_ratio_in_crop: float = 0.8
     min_required_vis_landmarks: int = 19
     crop_size: Tuple[int, int] = (96, 96)
+    # true sensor (H, W) when the caller uploads frames PRE-PADDED to the
+    # warp kernel's window-aligned dims (512k rows, 128k cols): skips the
+    # per-dispatch device-side pad of the whole image batch (~0.8 ms per
+    # 128-frame serving dispatch) at identical sampling semantics.
+    src_valid_hw: Optional[Tuple[int, int]] = None
 
 
 class TrackerState(NamedTuple):
@@ -122,6 +127,7 @@ class HandTracker:
             crop_cam,
             self.opts.crop_size,
             src_kind=src_kind,
+            src_valid_hw=self.opts.src_valid_hw,
         )
         crops = crops.reshape(
             NUM_HANDS, MAX_VIEWS, self.opts.crop_size[1], self.opts.crop_size[0]

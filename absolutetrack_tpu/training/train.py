@@ -138,8 +138,27 @@ def loss_fn(
     )
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-5):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 1e-5,
+    clip_norm: float = 1.0,
+    max_consecutive_nonfinite: int = 10,
+):
+    """AdamW with global-norm clipping and non-finite-update rejection.
+
+    A rare degenerate sample (e.g. an augmented pose that lands a hand
+    nearly edge-on to a crop camera) can produce an inf/NaN loss; without
+    the ``apply_if_finite`` guard one such batch poisons the parameters
+    permanently (observed in round 4: stage-4 training went NaN at one
+    batch and the periodic checkpoint save then persisted the damage).
+    Clipping bounds the healthy-but-spiky gradients the sequence NLL
+    produces on hard batches.
+    """
+    inner = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+    return optax.apply_if_finite(inner, max_consecutive_nonfinite)
 
 
 def batch_shardings(mesh: Mesh) -> SequenceBatch:

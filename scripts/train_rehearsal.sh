@@ -24,12 +24,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 
-STAGE1_STEPS=${STAGE1_STEPS:-1500}
-STAGE2_STEPS=${STAGE2_STEPS:-2500}
+STAGE1_STEPS=${STAGE1_STEPS:-2500}
+STAGE2_STEPS=${STAGE2_STEPS:-4500}
 LR1=${LR1:-3e-4}
 LR2=${LR2:-1e-4}
 BATCH=${BATCH:-16}
-AUGMENT=${AUGMENT:-7}
+AUGMENT=${AUGMENT:-9}
+TRANS_MM=${TRANS_MM:-60}
 CKPT=${CKPT:-tmp/checkpoints/rehearsal.msgpack}
 
 python -u - <<EOF
@@ -44,7 +45,8 @@ rendered_dataset(
     [f"{root}/recording_00.json", f"{root}/recording_02.json"],
     window_t=8, stride=4, cfg=cfg,
     augment=${AUGMENT}, crop_jitter=True, seed=0,
-    cache_path="tmp/rendered_ds_96_T8_s4_a${AUGMENT}j_train.npz",
+    augment_kwargs={"wrist_trans_mm": float("${TRANS_MM}")},
+    cache_path="tmp/rendered_ds_96_T8_s4_a${AUGMENT}j_t${TRANS_MM}_train.npz",
 )
 rendered_dataset(
     [f"{root}/recording_11.json"],
@@ -56,12 +58,12 @@ EOF
 
 scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
     --rendered --input-size 96 --window 8 --rendered-stride 4 \
-    --augment "$AUGMENT" --crop-jitter \
+    --augment "$AUGMENT" --crop-jitter --augment-trans-mm "$TRANS_MM" \
     --branch both --steps "$STAGE1_STEPS" --batch "$BATCH" --lr "$LR1" \
     --eval-every 100 --save-every 100 --save "$CKPT"
 
 exec scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
     --rendered --input-size 96 --window 8 --rendered-stride 4 \
-    --augment "$AUGMENT" --crop-jitter \
+    --augment "$AUGMENT" --crop-jitter --augment-trans-mm "$TRANS_MM" \
     --branch both --steps "$STAGE2_STEPS" --batch "$BATCH" --lr "$LR2" \
     --eval-every 100 --save-every 100 --resume "$CKPT.train" --save "$CKPT"

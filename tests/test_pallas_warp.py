@@ -428,3 +428,44 @@ class TestOneHotMxuWarp:
         a = np.asarray(bilinear_sample_mxu(imgs, idx, coords, interpret=True))
         b = np.asarray(bilinear_sample(imgs, idx, coords))
         np.testing.assert_allclose(a, b, atol=1.1)
+
+
+class TestPrePaddedSource:
+    def test_padded_source_matches_unpadded(self):
+        """Pre-padded sources + src_valid_hw must reproduce the unpadded
+        call EXACTLY on both backends (the pad is hoisted to the host; the
+        kernel must treat pixels beyond the valid extent as out-of-bounds,
+        not as zero-pad samples)."""
+        rng = np.random.default_rng(44)
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 480, 636), dtype=np.uint8))
+        padded = jnp.zeros((2, 512, 640), jnp.uint8)
+        padded = padded.at[:, :480, :636].set(imgs)
+        idx = jnp.asarray([1, 0], jnp.int32)
+        gy, gx = np.mgrid[0:96, 0:96]
+        # include coords near and past the right/bottom valid edges
+        y = 250 + gy[None] * 2.5 + rng.uniform(0, 1, (2, 96, 96))
+        x = 400 + gx[None] * 2.6 + rng.uniform(0, 1, (2, 96, 96))
+        coords = jnp.asarray(
+            np.stack([x.reshape(2, -1), y.reshape(2, -1)], -1).astype(np.float32)
+        )
+        assert float(coords[..., 0].max()) > 636  # exercises the edge
+        assert float(coords[..., 1].max()) > 480
+
+        a = np.asarray(
+            bilinear_sample_mxu(imgs, idx, coords, interpret=True, crop_hw=(96, 96))
+        )
+        b = np.asarray(
+            bilinear_sample_mxu(
+                padded, idx, coords, interpret=True, crop_hw=(96, 96),
+                src_valid_hw=(480, 636),
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+        g = np.asarray(bilinear_sample(imgs, idx, coords))
+        gp = np.asarray(
+            bilinear_sample(padded, idx, coords, src_valid_hw=(480, 636))
+        )
+        np.testing.assert_array_equal(g, gp)
+        # and the two backends agree on the padded input too
+        np.testing.assert_allclose(b, gp, atol=1.1)
