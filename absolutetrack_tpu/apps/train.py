@@ -102,6 +102,15 @@ def main(argv=None):
         "--augment-rot-deg", type=float, default=10.0,
         help="wrist rotation perturbation scale for --augment replicas",
     )
+    ap.add_argument(
+        "--augment-head-rot-deg", type=float, default=0.0,
+        help="rig-trajectory rotation perturbation (novel viewing "
+        "trajectories; the strongest lever against extrinsics overfit)",
+    )
+    ap.add_argument(
+        "--augment-head-trans-mm", type=float, default=0.0,
+        help="rig-trajectory translation perturbation",
+    )
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
@@ -182,6 +191,10 @@ def main(argv=None):
             if args.augment_rot_deg != 10.0:
                 aug_kwargs["wrist_rot_deg"] = args.augment_rot_deg
                 tag += f"_r{args.augment_rot_deg:g}"
+            if args.augment_head_rot_deg or args.augment_head_trans_mm:
+                aug_kwargs["head_rot_deg"] = args.augment_head_rot_deg
+                aug_kwargs["head_trans_mm"] = args.augment_head_trans_mm
+                tag += "_h"
         train_b, train_h = rendered_dataset(
             [f"{root}/recording_00.json", f"{root}/recording_02.json"],
             window_t=args.window, stride=args.rendered_stride, cfg=cfg,
@@ -252,6 +265,7 @@ def main(argv=None):
 
             e0 = heldout_mpjpe_mm(state.params)
             print(f"held-out tracked MPJPE at init: {e0:.1f} mm")
+            best_heldout = e0
         it = PrefetchIterator(batches(), max_prefetch=2)
         t0 = time.time()
         for i in range(args.steps):
@@ -268,7 +282,14 @@ def main(argv=None):
                 if has_eval and (
                     i % args.eval_every == 0 or i == args.steps - 1
                 ):
-                    extra = f" heldout={heldout_mpjpe_mm(state.params):.1f}mm"
+                    e_now = heldout_mpjpe_mm(state.params)
+                    extra = f" heldout={e_now:.1f}mm"
+                    # keep the best-generalizing params alongside the
+                    # latest (the last step is not necessarily the best)
+                    if args.save and e_now < best_heldout:
+                        best_heldout = e_now
+                        save_params(args.save + ".best", state.params)
+                        extra += " (best)"
                 print(f"step {i}: loss={m['total']:.4f} "
                       f"lm={m['landmark_l2_m'] * 1e3:.1f}mm{extra} ({dt:.1f}s)")
             if args.save and (i + 1) % args.save_every == 0:

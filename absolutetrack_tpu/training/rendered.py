@@ -105,6 +105,8 @@ def augment_labels(
     wrist_trans_mm: float = 25.0,
     angle_offset_sigma: float = 0.10,
     angle_wobble_sigma: float = 0.06,
+    head_rot_deg: float = 0.0,
+    head_trans_mm: float = 0.0,
 ):
     """A new plausible recording from an existing one's labels.
 
@@ -148,8 +150,42 @@ def augment_labels(
     )
     wr[..., :3, :3] = wr[..., :3, :3] @ d_r.astype(np.float32)
     wr[..., :3, 3] += d_t
+
+    # head (rig) trajectory perturbation: one rigid world-space transform
+    # per frame (constant + smooth), applied to ALL views so the stereo
+    # geometry is preserved but the viewing trajectory is novel -- the
+    # held-out recording differs from training mostly by its extrinsics
+    # trajectory, which per-hand augmentation alone cannot cover
+    c2w = np.asarray(labels.camera_to_world, np.float32).copy()  # (T, V, 4, 4)
+    if head_rot_deg > 0 or head_trans_mm > 0:
+        hr = np.deg2rad(head_rot_deg) / np.sqrt(3)
+        rv_h = rng.normal(0, hr, (1, 3)).astype(np.float32) + _smooth_noise(
+            rng, t, (3,), hr * 0.5
+        )
+        r_h = Rotation.from_rotvec(rv_h.reshape(-1, 3)).as_matrix().reshape(
+            t, 1, 3, 3
+        ).astype(np.float32)
+        ht = head_trans_mm / np.sqrt(3)
+        t_h = rng.normal(0, ht, (1, 3)).astype(np.float32) + _smooth_noise(
+            rng, t, (3,), ht * 0.5
+        )
+        # rotate about the per-frame rig centroid (not the world origin:
+        # the hands sit ~0.2-0.5 m away and an origin rotation would
+        # fling the cameras off the scene)
+        center = c2w[..., :3, 3].mean(axis=1, keepdims=True)  # (T, 1, 3)
+        c2w[..., :3, :3] = r_h @ c2w[..., :3, :3]
+        c2w[..., :3, 3] = (
+            np.einsum("tvij,tvj->tvi", np.broadcast_to(r_h, c2w[..., :3, :3].shape),
+                      c2w[..., :3, 3] - center)
+            + center + t_h[:, None, :]
+        )
+
     return dataclasses.replace(
-        labels, hand_model=hand, joint_angles=ja, wrist_transforms=wr
+        labels,
+        hand_model=hand,
+        joint_angles=ja,
+        wrist_transforms=wr,
+        camera_to_world=c2w,
     )
 
 
