@@ -62,8 +62,34 @@ scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
     --branch both --steps "$STAGE1_STEPS" --batch "$BATCH" --lr "$LR1" \
     --eval-every 100 --save-every 100 --save "$CKPT"
 
-exec scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
+scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
     --rendered --input-size 96 --window 8 --rendered-stride 4 \
     --augment "$AUGMENT" --crop-jitter --augment-trans-mm "$TRANS_MM" \
     --branch both --steps "$STAGE2_STEPS" --batch "$BATCH" --lr "$LR2" \
     --eval-every 100 --save-every 100 --resume "$CKPT.train" --save "$CKPT"
+
+# Stage 3: wider corpus with HEAD-TRAJECTORY augmentation (novel viewing
+# trajectories -- the axis the held-out recording actually differs by).
+python -u - <<EOF
+import jax
+jax.config.update("jax_platforms", "cpu")
+from absolutetrack_tpu.models import ModelConfig
+from absolutetrack_tpu.training.rendered import rendered_dataset
+root = "/root/reference/sample_data/user05"
+rendered_dataset(
+    [f"{root}/recording_00.json", f"{root}/recording_02.json"],
+    window_t=8, stride=4, cfg=ModelConfig(),
+    augment=${STAGE3_AUGMENT:-19}, crop_jitter=True, seed=0,
+    augment_kwargs={"wrist_trans_mm": float("${TRANS_MM}"),
+                    "head_rot_deg": 6.0, "head_trans_mm": 40.0},
+    cache_path="tmp/rendered_ds_96_T8_s4_a${STAGE3_AUGMENT:-19}j_t${TRANS_MM}_h_train.npz",
+)
+print("stage-3 cache ready")
+EOF
+
+exec scripts/tpu_run.sh 9000 python -u -m absolutetrack_tpu.apps.train \
+    --rendered --input-size 96 --window 8 --rendered-stride 4 \
+    --augment "${STAGE3_AUGMENT:-19}" --crop-jitter --augment-trans-mm "$TRANS_MM" \
+    --augment-head-rot-deg 6 --augment-head-trans-mm 40 \
+    --branch both --steps "${STAGE3_STEPS:-4000}" --batch "$BATCH" --lr "$LR2" \
+    --eval-every 100 --save-every 200 --resume "$CKPT.train" --save "$CKPT"
