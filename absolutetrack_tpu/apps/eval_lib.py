@@ -83,6 +83,39 @@ class SequenceResult:
     wrist_xfs: Optional[np.ndarray] = None  # (2, T, 4, 4) world, mm
 
 
+def _prepad_opts(opts: TrackerConfig, labels: HandPoseLabels):
+    """Enable host-side source pre-padding for the warp kernels.
+
+    Frames upload zero-padded to the Pallas windows' aligned dims
+    (rows to 256-multiples, cols to 128-multiples) and
+    ``TrackerConfig.src_valid_hw`` records the true sensor extent, so the
+    per-dispatch device-side whole-batch pad disappears at bitwise
+    identical sampling (tests/test_pallas_warp.py TestPrePaddedSource).
+    Returns (opts, pad_hw) where pad_hw is None when already aligned or
+    when the caller pinned src_valid_hw itself.
+    """
+    h = int(np.asarray(labels.cameras.height).reshape(-1)[0])
+    w = int(np.asarray(labels.cameras.width).reshape(-1)[0])
+    hp, wp = -(-h // 256) * 256, -(-w // 128) * 128
+    if opts.src_valid_hw is not None or (hp == h and wp == w):
+        return opts, None
+    return dataclasses.replace(opts, src_valid_hw=(h, w)), (hp, wp)
+
+
+def _pad_frames(images: np.ndarray, pad_hw) -> np.ndarray:
+    """(..., H, W) -> (..., hp, wp) zero-padded (no-op when pad_hw is None
+    or the frames don't match the expected sensor size)."""
+    if pad_hw is None:
+        return images
+    hp, wp = pad_hw
+    h, w = images.shape[-2:]
+    if h > hp or w > wp:
+        return images
+    out = np.zeros(images.shape[:-2] + (hp, wp), images.dtype)
+    out[..., :h, :w] = images
+    return out
+
+
 def track_recording(
     model: UmeTrackModel,
     labels: HandPoseLabels,
@@ -118,6 +151,7 @@ def track_recording(
         # crops must match the network's input size (a tiny-arch model
         # with the default 96x96 crops fails at the memory concat)
         opts = TrackerConfig(crop_size=model.cfg.input_size)
+    opts, pad_hw = _prepad_opts(opts, labels)
     tracker = HandTracker(model, opts)
     hand_mm = hand_model_mm if hand_model_mm is not None else labels.hand_model
 
@@ -136,14 +170,16 @@ def track_recording(
             min_num_crops=min_num_crops, src_kind=labels.camera_kind,
         )
 
-    # images transfer in their source dtype (uint8 video frames = 4x less
-    # host->device traffic); cast to f32 on device
+    # images transfer AND sample in their source dtype: uint8 video frames
+    # are 4x less host->device traffic and the Pallas warp samples uint8
+    # natively (per-window VMEM convert); an up-front whole-image f32 cast
+    # would re-create the exact convert overhead the kernel path avoids
     if pipelined:
 
         @jax.jit
         def run_chunk(state, images_c, cam_c, ja_c, wr_c, conf_c):
             return track_chunk_eval(
-                model, opts, state, images_c.astype(jnp.float32), base_cams,
+                model, opts, state, images_c, base_cams,
                 cam_c, camera_angles, hand_mm, ja_c, wr_c, conf_c,
                 min_num_crops=min_num_crops, src_kind=labels.camera_kind,
                 calibrate_scale=calibrate_scale,
@@ -157,7 +193,6 @@ def track_recording(
                 state, res = frame_step(state, *xs)
                 return state, res
 
-            images_c = images_c.astype(jnp.float32)
             return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     t_total = len(labels) if max_frames is None else min(max_frames, len(labels))
@@ -209,7 +244,7 @@ def track_recording(
         def pad0(a):
             return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)]) if pad else a
 
-        images_c = pad0(np.asarray(chunk_frames))
+        images_c = pad0(_pad_frames(np.asarray(chunk_frames), pad_hw))
         cam_c = pad0(labels.camera_to_world[sl])
         ja_c = jnp.asarray(pad0(labels.joint_angles[sl]))
         wr_c = jnp.asarray(pad0(labels.wrist_transforms[sl]))
@@ -292,6 +327,7 @@ def track_recordings_batched(
 
     if opts is None:
         opts = TrackerConfig(crop_size=model.cfg.input_size)
+    opts, pad_hw = _prepad_opts(opts, labels_list[0])
     tracker = BatchedTracker(model, opts)
     hands_mm = (
         hand_models_mm
@@ -339,10 +375,9 @@ def track_recordings_batched(
             min_num_crops=min_num_crops, src_kind=src_kind,
         )
 
-    # Images transfer to the device in their source dtype (uint8 for decoded
-    # video = 4x less host->device traffic than f32 over the PCIe/tunnel
-    # link) and are cast to f32 inside the jit, where the cast fuses into
-    # the warp's first read.
+    # Images transfer AND sample in their source dtype (uint8 for decoded
+    # video = 4x less host->device traffic than f32, and the Pallas warp
+    # samples uint8 natively with a per-window VMEM convert).
     if pipelined:
         from ..tracker.pipelined import track_chunk_eval_batched
 
@@ -352,7 +387,6 @@ def track_recordings_batched(
             # assembles them per recording anyway, and the pipelined
             # phase-A flatten is then a free reshape instead of a device
             # transpose of the whole uint8 chunk
-            images_rm = images_rm.astype(jnp.float32)
             return track_chunk_eval_batched(
                 model, opts, state, images_rm, base_cams, cam_c, camera_angles,
                 hand_stack, ja_c, wr_c, conf_c, min_num_crops=min_num_crops,
@@ -368,7 +402,6 @@ def track_recordings_batched(
                 state, res = frame_step(state, *xs)
                 return state, res
 
-            images_c = images_c.astype(jnp.float32)
             return jax.lax.scan(body, state, (images_c, cam_c, ja_c, wr_c, conf_c))
 
     lengths = [
@@ -457,9 +490,11 @@ def track_recordings_batched(
             rec_frames.extend([last_frames[ri]] * pad)
             imgs.append(np.stack(rec_frames))
         if pipelined:
-            images_c = np.stack(imgs)  # (R, chunk, V, H, W) rec-major
+            images_c = _pad_frames(np.stack(imgs), pad_hw)  # (R, chunk, V, hp, wp)
         else:
-            images_c = np.moveaxis(np.stack(imgs), 0, 1)  # (chunk, R, ...)
+            images_c = _pad_frames(
+                np.moveaxis(np.stack(imgs), 0, 1), pad_hw
+            )  # (chunk, R, ...)
 
         # label arrays by fancy indexing (no per-frame python loop)
         ts = t + np.arange(chunk_size)  # (chunk,)

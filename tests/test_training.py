@@ -263,7 +263,22 @@ class TestTrainStep:
         base = load_labels(
             "/root/reference/sample_data/user05/recording_00.json"
         )
-        aug = augment_labels(base, seed=42)
+        aug = augment_labels(
+            base, seed=42, head_rot_deg=6.0, head_trans_mm=40.0
+        )
+        # head augmentation must keep every camera a rigid transform and
+        # actually move the trajectory
+        c2w = aug.camera_to_world
+        rot_c = c2w[..., :3, :3]
+        np.testing.assert_allclose(
+            rot_c @ np.swapaxes(rot_c, -1, -2),
+            np.broadcast_to(np.eye(3), rot_c.shape),
+            atol=1e-4,
+        )
+        assert (
+            np.abs(c2w[..., :3, 3] - base.camera_to_world[..., :3, 3]).max()
+            > 5.0
+        )
 
         s = float(
             np.linalg.norm(
