@@ -19,19 +19,19 @@ import argparse
 import numpy as np
 
 
-def build_replay(labels_path: str, max_frames: int):
+def build_replay(labels_path: str, max_frames: int, renderer: str = "mesh"):
     """Frames + GT-projection detector from a bundled recording."""
     import jax
     import jax.numpy as jnp
 
     from ...geometry import camera as cam
     from ..eval_lib import gt_landmark_sequence
-    from ...tracker.video_data import SyntheticFrameSource, load_labels
+    from ...tracker.video_data import load_labels, make_frame_source
     from .detector_2d import ReplayDetector
 
     labels = load_labels(labels_path)
     lm = gt_landmark_sequence(labels)  # (T, 2, 21, 3)
-    src = SyntheticFrameSource(labels, lm)
+    src = make_frame_source(labels, renderer=renderer, landmarks_world=lm)
 
     # the demo rig is the stereo pair = views [1, 2] of the 4-view recording
     stereo_views = (1, 2)
@@ -73,6 +73,10 @@ def main(argv=None):
         help="live demo defaults to the bf16 serving trunk (lowest "
         "latency); parity = f32 HIGHEST conv precision",
     )
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="replay-mode synthetic renderer (mesh silhouettes / blobs)",
+    )
     ap.add_argument("--max-frames", type=int, default=60)
     ap.add_argument("--no-udp", action="store_true")
     args = ap.parse_args(argv)
@@ -87,7 +91,9 @@ def main(argv=None):
     model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
 
     if args.source == "replay":
-        labels, frames, detector = build_replay(args.labels, args.max_frames)
+        labels, frames, detector = build_replay(
+            args.labels, args.max_frames, renderer=args.renderer
+        )
         live = LiveTracker(
             model,
             labels.hand_model,

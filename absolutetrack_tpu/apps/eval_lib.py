@@ -47,27 +47,7 @@ def build_model(
     return UmeTrackModel(params, cfg)
 
 
-def gt_landmark_sequence(labels: HandPoseLabels) -> np.ndarray:
-    """(T, 2, 21, 3) FK landmarks of the GT poses (world, mm).
-
-    Pinned to the CPU backend: this is host-side prep; dispatching its many
-    small ops to a remote accelerator costs a round trip per op.
-    """
-    from ..utils.runtime import on_cpu
-
-    t = len(labels)
-    with on_cpu():
-        hand_b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (t, NUM_HANDS) + x.shape), labels.hand_model
-        )
-        hand_idx = jnp.broadcast_to(jnp.arange(NUM_HANDS), (t, NUM_HANDS))
-        lm = jax.jit(landmarks_from_hand_pose)(
-            hand_b,
-            jnp.asarray(labels.joint_angles),
-            jnp.asarray(labels.wrist_transforms),
-            hand_idx,
-        )
-        return np.asarray(lm)
+from ..tracker.video_data import gt_landmark_sequence  # noqa: E402  (re-export)
 
 
 @dataclasses.dataclass
@@ -103,14 +83,19 @@ def _prepad_opts(opts: TrackerConfig, labels: HandPoseLabels):
 
 
 def _pad_frames(images: np.ndarray, pad_hw) -> np.ndarray:
-    """(..., H, W) -> (..., hp, wp) zero-padded (no-op when pad_hw is None
-    or the frames don't match the expected sensor size)."""
+    """(..., H, W) -> (..., hp, wp) zero-padded (no-op when pad_hw is None)."""
     if pad_hw is None:
         return images
     hp, wp = pad_hw
     h, w = images.shape[-2:]
     if h > hp or w > wp:
-        return images
+        # src_valid_hw was pinned to the LABEL camera dims; silently
+        # truncating larger frames to that extent would sample a cropped
+        # region (round-4 advisor finding)
+        raise ValueError(
+            f"frame dims ({h}, {w}) exceed the label cameras' padded "
+            f"extent ({hp}, {wp}); frames and labels disagree"
+        )
     out = np.zeros(images.shape[:-2] + (hp, wp), images.dtype)
     out[..., :h, :w] = images
     return out
@@ -565,10 +550,19 @@ def track_recordings_batched(
     return results
 
 
-def frames_for(labels: HandPoseLabels, video_path: Optional[str]):
-    """Real decoded frames when the mp4 exists, synthetic blobs otherwise."""
+def frames_for(
+    labels: HandPoseLabels, video_path: Optional[str], renderer: str = "mesh"
+):
+    """Real decoded frames when the mp4 exists, synthetic frames otherwise.
+
+    ``renderer`` picks the synthetic fallback: ``mesh`` (LBS-skinned
+    mesh-silhouette, default -- stereo depth and scale observable) or
+    ``blobs`` (landmark gaussians, the pre-round-5 renderer).
+    """
     import os
+
+    from ..tracker.video_data import make_frame_source
 
     if video_path and os.path.exists(video_path):
         return VideoFrameSource(video_path, labels.num_views)
-    return SyntheticFrameSource(labels, gt_landmark_sequence(labels))
+    return make_frame_source(labels, renderer=renderer)

@@ -78,6 +78,11 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--views", type=int, nargs=2, default=[1, 2])
     ap.add_argument("--max-frames", type=int, default=64)
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="synthetic-frame fallback renderer when the mp4 is absent "
+        "(mesh = LBS mesh silhouettes; blobs = landmark gaussians)",
+    )
     args = ap.parse_args(argv)
 
     import json
@@ -90,7 +95,7 @@ def main(argv=None):
     for lf in find_label_files(args.input_dir, test_only=False):
         rec = os.path.splitext(os.path.basename(lf))[0]
         labels = load_labels(lf)
-        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+        frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4", args.renderer)
         imgs, K, w2e = rectify_views(labels, frames, max_frames=args.max_frames)
         lm = eval_lib.gt_landmark_sequence(labels)  # (T, 2, 21, 3) mm
 

@@ -68,6 +68,11 @@ def main(argv=None):
         help="shard the lockstep recordings over a 'data' mesh of this many "
         "devices (SPMD eval; batch-recordings must divide by it)",
     )
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="synthetic-frame fallback renderer when the mp4 is absent "
+        "(mesh = LBS mesh silhouettes; blobs = landmark gaussians)",
+    )
     args = ap.parse_args(argv)
 
     label_files = find_label_files(args.input_dir, args.test_only)
@@ -120,7 +125,7 @@ def main(argv=None):
         if len(group) == 1 or b == 1:
             for lf, rel, out_path in group:
                 labels = load_labels(lf)
-                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4", args.renderer)
                 res = eval_lib.track_recording(
                     model, labels, frames, min_num_crops=1,
                     max_frames=args.max_frames,
@@ -130,7 +135,7 @@ def main(argv=None):
             recs = []
             for lf, _rel, _out in group:
                 labels = load_labels(lf)
-                recs.append((labels, eval_lib.frames_for(labels, lf[:-5] + ".mp4")))
+                recs.append((labels, eval_lib.frames_for(labels, lf[:-5] + ".mp4", args.renderer)))
             mesh = None
             if args.mesh_data > 1:
                 from absolutetrack_tpu.parallel import make_mesh

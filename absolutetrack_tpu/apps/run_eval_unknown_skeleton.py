@@ -152,6 +152,11 @@ def main(argv=None):
         help="shard the lockstep recordings over a 'data' mesh of this many "
         "devices (SPMD eval; batch-recordings must divide by it)",
     )
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="synthetic-frame fallback renderer when the mp4 is absent "
+        "(mesh = LBS mesh silhouettes; blobs = landmark gaussians)",
+    )
     args = ap.parse_args(argv)
 
     from ..kinematics.hand_model import load_hand_model_json
@@ -209,7 +214,7 @@ def main(argv=None):
                 labels = load_labels(lf)
 
                 # pass 1: calibrate on the first frames (stereo required)
-                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4", args.renderer)
                 calib = eval_lib.track_recording(
                     model, labels, frames, hand_model_mm=generic,
                     calibrate_scale=True, max_frames=CALIB_FRAMES,
@@ -219,7 +224,7 @@ def main(argv=None):
                       f"({calib.valid_tracking.sum()} calib frames)")
 
                 # pass 2: fresh tracker state, known-skeleton tracking
-                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4")
+                frames = eval_lib.frames_for(labels, lf[:-5] + ".mp4", args.renderer)
                 res = eval_lib.track_recording(
                     model, labels, frames,
                     hand_model_mm=scaled_hand_model(generic, user_scale),
@@ -238,7 +243,7 @@ def main(argv=None):
             # pass 1 batched: every recording calibrates on the generic
             # skeleton (scale-prediction branch, stereo-gated)
             recs = [
-                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4"))
+                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4", args.renderer))
                 for lab, (lf, _r, _o) in zip(labels_list, group)
             ]
             calibs = eval_lib.track_recordings_batched(
@@ -255,7 +260,7 @@ def main(argv=None):
 
             # pass 2 batched: fresh state, per-recording calibrated skeleton
             recs = [
-                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4"))
+                (lab, eval_lib.frames_for(lab, lf[:-5] + ".mp4", args.renderer))
                 for lab, (lf, _r, _o) in zip(labels_list, group)
             ]
             results = eval_lib.track_recordings_batched(

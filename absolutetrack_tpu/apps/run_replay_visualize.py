@@ -116,6 +116,11 @@ def main(argv=None):
         help="also render the warped per-(hand,view) network-input crops "
         "(reference track_frame_analysis windows, tracker.py:416-604)",
     )
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="synthetic-frame fallback renderer when the mp4 is absent "
+        "(mesh = LBS mesh silhouettes; blobs = landmark gaussians)",
+    )
     args = ap.parse_args(argv)
 
     labels = load_labels(args.labels)
@@ -123,7 +128,7 @@ def main(argv=None):
 
     mcfg = ModelConfig.serving() if args.precision == "serving" else ModelConfig()
     model = eval_lib.build_model(args.checkpoint, cfg=mcfg)
-    frames_src = eval_lib.frames_for(labels, args.labels[:-5] + ".mp4")
+    frames_src = eval_lib.frames_for(labels, args.labels[:-5] + ".mp4", args.renderer)
 
     res = eval_lib.track_recording(
         model, labels, frames_src, max_frames=args.max_frames
@@ -131,7 +136,7 @@ def main(argv=None):
     sender = None if args.no_udp else UnitySender()
     crop_fn = make_crop_debug_fn(model, labels) if args.crops else None
 
-    frames_src = eval_lib.frames_for(labels, args.labels[:-5] + ".mp4")
+    frames_src = eval_lib.frames_for(labels, args.labels[:-5] + ".mp4", args.renderer)
     for t, mono in enumerate(frames_src):
         if t >= res.tracked_keypoints.shape[1]:
             break

@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -111,6 +112,12 @@ def main(argv=None):
         "--augment-head-trans-mm", type=float, default=0.0,
         help="rig-trajectory translation perturbation",
     )
+    ap.add_argument(
+        "--renderer", choices=["mesh", "blobs"], default="mesh",
+        help="--rendered frame renderer: 'mesh' = LBS-skinned 788-vert "
+        "mesh silhouettes (stereo depth + scale observable), 'blobs' = "
+        "pre-round-5 landmark gaussians",
+    )
     ap.add_argument("--window", type=int, default=2, help="synthetic window T")
     ap.add_argument("--input-size", type=int, default=32,
                     help="synthetic crop size (32 = tiny recipe, 96 = full)")
@@ -180,6 +187,7 @@ def main(argv=None):
         base_tag = (
             f"tmp/rendered_ds_{args.input_size}_T{args.window}"
             f"_s{args.rendered_stride}"
+            + ("" if args.renderer == "mesh" else f"_{args.renderer}")
         )
         tag = base_tag
         aug_kwargs = {}
@@ -201,11 +209,13 @@ def main(argv=None):
             cache_path=f"{tag}_train.npz",
             augment=args.augment, crop_jitter=args.crop_jitter,
             seed=args.seed, augment_kwargs=aug_kwargs,
+            renderer=args.renderer,
         )
         held_b, held_h = rendered_dataset(
             [f"{root}/recording_11.json"],
             window_t=args.window, stride=args.rendered_stride, cfg=cfg,
             max_windows_per_recording=64, cache_path=f"{base_tag}_held.npz",
+            renderer=args.renderer,
         )
         n_train = train_b.hand_idx.shape[0]
         print(f"rendered windows: train {n_train} samples, "
@@ -266,6 +276,25 @@ def main(argv=None):
             e0 = heldout_mpjpe_mm(state.params)
             print(f"held-out tracked MPJPE at init: {e0:.1f} mm")
             best_heldout = e0
+            # .best is the canonical artifact: seed it from this stage's
+            # init, or -- when a previous stage left one -- score that
+            # file's params so a resumed stage never overwrites a better
+            # earlier .best nor leaves a stale one (round-4 advisor)
+            if args.save:
+                best_path = args.save + ".best"
+                if os.path.exists(best_path):
+                    try:
+                        e_prev = heldout_mpjpe_mm(load_any(best_path, cfg))
+                        print(f"existing .best scores {e_prev:.1f} mm")
+                        if e_prev < best_heldout:
+                            best_heldout = e_prev
+                        else:
+                            save_params(best_path, state.params)
+                    except Exception as exc:  # arch changed between stages
+                        print(f".best unreadable ({exc}); reseeding")
+                        save_params(best_path, state.params)
+                else:
+                    save_params(best_path, state.params)
         it = PrefetchIterator(batches(), max_prefetch=2)
         t0 = time.time()
         for i in range(args.steps):

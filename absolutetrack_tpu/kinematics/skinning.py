@@ -180,6 +180,47 @@ def skin_landmarks(
     )
 
 
+def skin_mesh_vertices(
+    hand: HandModel,
+    joint_angles: jnp.ndarray,  # (..., 22)
+    wrist_transforms: jnp.ndarray,  # (..., 4, 4)
+) -> jnp.ndarray:
+    """Skinned 788-vertex mesh for the given pose (..., 788, 3).
+
+    Same LBS blend as the landmarks but over the dense per-vertex
+    (788, 17) weight matrix the model ships (reference
+    lib/common/hand.py:48-76 ``dense_bone_weights`` /
+    hand_skinning.py:130-186 ``skin_vertices``).
+    """
+    assert hand.mesh_vertices is not None, "hand model carries no mesh"
+    assert hand.dense_bone_weights is not None
+    return skin_points(
+        hand,
+        hand.dense_bone_weights,
+        hand.mesh_vertices,
+        joint_angles,
+        wrist_transforms,
+    )
+
+
+def mesh_from_hand_pose(
+    hand: HandModel,
+    joint_angles: jnp.ndarray,
+    wrist_transform: jnp.ndarray,
+    hand_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """World mesh vertices with the right-hand wrist mirror applied.
+
+    Mesh analogue of ``landmarks_from_hand_pose``: the stored mesh is
+    left-canonical; right hands reflect via the flipped wrist x column
+    (reference lib/tracker/perspective_crop.py:40-51).
+    """
+    xf = wrist_transform.at[..., :, 0].multiply(
+        jnp.where(jnp.asarray(hand_idx) == 1, -1.0, 1.0)[..., None]
+    )
+    return skin_mesh_vertices(hand, joint_angles, xf)
+
+
 def landmarks_from_hand_pose(
     hand: HandModel,
     joint_angles: jnp.ndarray,

@@ -64,7 +64,12 @@ def load_any(path: str, cfg: ModelConfig = ModelConfig()) -> Dict:
         return _torch(path)
     with open(path, "rb") as f:
         magic = f.read(4)
-    if magic.startswith(b"PK\x03\x04") or magic.startswith(b"\x80"):
+    # legacy pickle = \x80 + protocol byte 2..5; a single \x80 also matches
+    # msgpack's empty-fixmap marker, so check both bytes (advisor finding)
+    legacy_pickle = (
+        len(magic) >= 2 and magic[0] == 0x80 and magic[1] in (2, 3, 4, 5)
+    )
+    if magic.startswith(b"PK\x03\x04") or legacy_pickle:
         return _torch(path)
     try:
         return load_params(path, cfg)

@@ -551,7 +551,8 @@ def bilinear_sample_mxu(
     """Orientation-routed hat-matmul bilinear sampling -> (N, P).
 
     ``src_valid_hw``: pass the TRUE source extent when ``images`` arrive
-    already zero-padded to window-aligned dims ((512k, 128k)): sampling
+    already zero-padded to window-aligned dims (rows to a 256 multiple =
+    2*_BAND, cols to a 128 multiple; see ``_prepad_opts``): sampling
     semantics stay those of the unpadded source (coords beyond the valid
     extent are out-of-bounds) while the per-dispatch device-side
     ``jnp.pad`` of the whole image batch disappears (profiled ~0.8 ms per

@@ -3,9 +3,12 @@
 Builds ``SequenceBatch`` training windows by driving the REAL tracker
 input pipeline -- GT-pose crop-camera synthesis + the fisheye->pinhole
 warp (tracker/batched.py make_inputs, the exact serving path) -- over
-frames from the synthetic landmark-blob renderer
-(tracker/video_data.py SyntheticFrameSource) posed by the sample_data
-label JSONs (/root/reference/sample_data/user05).
+synthetic frames posed by the sample_data label JSONs
+(/root/reference/sample_data/user05). The default renderer is the
+z-buffered LBS mesh-silhouette (tracker/video_data.py MeshFrameSource,
+round 5): finite hand extent makes stereo depth and skeleton scale
+observable, which the earlier identical-gaussian landmark-blob renderer
+(``renderer="blobs"``) structurally could not provide.
 
 Purpose: real UmeTrack weights are absent from this mount
 (reference .MISSING_LARGE_BLOBS), and benchmarking the sequential
@@ -35,26 +38,9 @@ NUM_HANDS = 2
 
 def _gt_landmarks_mm(labels) -> np.ndarray:
     """(T, 2, 21, 3) FK landmarks of the GT poses (world, mm), on CPU."""
-    import jax
-    import jax.numpy as jnp
+    from ..tracker.video_data import gt_landmark_sequence
 
-    from ..kinematics.skinning import landmarks_from_hand_pose
-    from ..utils.runtime import on_cpu
-
-    t = len(labels)
-    with on_cpu():
-        hand_b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (t, NUM_HANDS) + x.shape),
-            labels.hand_model,
-        )
-        hand_idx = jnp.broadcast_to(jnp.arange(NUM_HANDS), (t, NUM_HANDS))
-        lm = jax.jit(landmarks_from_hand_pose)(
-            hand_b,
-            jnp.asarray(labels.joint_angles),
-            jnp.asarray(labels.wrist_transforms),
-            hand_idx,
-        )
-        return np.asarray(lm)
+    return gt_landmark_sequence(labels)
 
 
 def _log_scale_vs_generic(hand_model_mm: HandModel) -> float:
@@ -197,6 +183,7 @@ def rendered_windows_from_labels(
     blob_sigma: float = 3.0,
     chunk_windows: int = 16,
     crop_jitter_seed: Optional[int] = None,
+    renderer: str = "mesh",
 ) -> Tuple[SequenceBatch, HandModel]:
     """Windows of rendered frames pushed through the serving crop/warp path.
 
@@ -219,14 +206,19 @@ def rendered_windows_from_labels(
     from ..models.umetrack import UmeTrackModel, init_umetrack_params
     from ..tracker.batched import BatchedTracker
     from ..tracker.tracker import MM_TO_M, TrackerConfig
-    from ..tracker.video_data import SyntheticFrameSource
+    from ..tracker.video_data import make_frame_source
     from ..utils.runtime import on_cpu
 
     opts = TrackerConfig(crop_size=cfg.input_size)
     w_n, t_n = len(starts), window_t
     v = labels.num_views
 
-    src = SyntheticFrameSource(labels, _gt_landmarks_mm(labels), blob_sigma=blob_sigma)
+    src = make_frame_source(
+        labels,
+        renderer=renderer,
+        landmarks_world=_gt_landmarks_mm(labels) if renderer == "blobs" else None,
+        blob_sigma=blob_sigma,
+    )
     frame_ids = [s + dt for s in starts for dt in range(t_n)]  # F = W*T
 
     ja_crop = np.asarray(labels.joint_angles, np.float32)
@@ -466,6 +458,7 @@ def rendered_dataset(
     seed: int = 0,
     blob_sigma: float = 3.0,
     augment_kwargs: Optional[dict] = None,
+    renderer: str = "mesh",
 ) -> Tuple[SequenceBatch, HandModel]:
     """Windows from several label JSONs, optionally cached as one .npz.
 
@@ -481,7 +474,8 @@ def rendered_dataset(
     on the wrong corpus).
     """
     meta = {
-        "version": 2,
+        "version": 3,
+        "renderer": str(renderer),
         "label_paths": list(label_paths),
         "window_t": int(window_t),
         "stride": int(stride),
@@ -521,7 +515,7 @@ def rendered_dataset(
             parts.append(
                 rendered_windows_from_labels(
                     lv, starts, window_t, cfg=cfg, blob_sigma=blob_sigma,
-                    crop_jitter_seed=jseed,
+                    crop_jitter_seed=jseed, renderer=renderer,
                 )
             )
     batch, hand_m = concat_windows(parts)
