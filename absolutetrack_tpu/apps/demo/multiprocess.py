@@ -64,7 +64,8 @@ def _pop_obj(ring: FrameRing, scratch: np.ndarray):
     return pickle.loads(scratch[_HEADER.size : _HEADER.size + n].tobytes())
 
 
-def _capture_proc(ring_name, n_slots, slot_bytes, source_kind, max_frames, stop):
+def _capture_proc(ring_name, n_slots, slot_bytes, source_kind, max_frames, stop,
+                  throttle_s=0.01):
     shm, ring = _attach_ring(ring_name, n_slots, slot_bytes)
     try:
         if source_kind == "synthetic":
@@ -74,7 +75,8 @@ def _capture_proc(ring_name, n_slots, slot_bytes, source_kind, max_frames, stop)
                     break
                 mono = rng.uniform(0, 255, (2, 480, 640)).astype(np.uint8)
                 _push_obj(ring, (i, mono))
-                time.sleep(0.01)
+                if throttle_s > 0:
+                    time.sleep(throttle_s)
         else:
             from .pipeline import DemoConfig, StereoFrameSource
 
@@ -93,6 +95,7 @@ def run_multiprocess_demo(
     on_frame=None,
     slot_bytes: int = 2 * 480 * 640 + 4096,
     n_slots: int = 6,
+    throttle_s: float = 0.01,
 ) -> int:
     """Spawn capture in its own process; consume frames here. Returns the
     number of frames consumed. (The detector/tracker stages run in the
@@ -110,7 +113,8 @@ def run_multiprocess_demo(
     stop = ctx.Event()
     proc = ctx.Process(
         target=_capture_proc,
-        args=(name, n_slots, slot_bytes, source_kind, max_frames, stop),
+        args=(name, n_slots, slot_bytes, source_kind, max_frames, stop,
+              throttle_s),
         daemon=True,
     )
     proc.start()

@@ -542,8 +542,8 @@ def _plan_blocked(x, y, h, w, n, p, crop_hw, valid_hw=None) -> Optional[_Plan]:
 def bilinear_sample_mxu(
     images: jnp.ndarray,  # (V, H, W) f32 / uint8 / bf16
     image_idx: jnp.ndarray,  # (N,) int
-    coords: jnp.ndarray,  # (N, P, 2) f32, row-major over the crop when
-    #                       crop_hw is given
+    coords,  # (N, P, 2) f32 OR an (x, y) tuple of (N, P) planes,
+    #          row-major over the crop when crop_hw is given
     interpret: bool = False,
     crop_hw: Optional[Tuple[int, int]] = None,  # (crop_h, crop_w), P = h*w
     src_valid_hw: Optional[Tuple[int, int]] = None,
@@ -566,7 +566,10 @@ def bilinear_sample_mxu(
     chain narrow -> banded -> covering is resolved per call with the
     cheap trace-time extent stats above.
     """
-    n, p, _ = coords.shape
+    from .resample import split_coord_planes
+
+    x, y = split_coord_planes(coords)
+    n, p = x.shape
     if n > _MAX_SLOTS:
         n_slabs = -(-n // _MAX_SLOTS)
         slab = -(-n // n_slabs)
@@ -574,7 +577,7 @@ def bilinear_sample_mxu(
             bilinear_sample_mxu(
                 images,
                 image_idx[i : i + slab],
-                coords[i : i + slab],
+                (x[i : i + slab], y[i : i + slab]),
                 interpret=interpret,
                 crop_hw=crop_hw,
                 src_valid_hw=src_valid_hw,
@@ -587,8 +590,8 @@ def bilinear_sample_mxu(
     if valid_hw is not None:
         hv, wv = valid_hw
         assert hv <= h and wv <= w, (valid_hw, images.shape)
-    x = coords[..., 0].astype(jnp.float32)  # planar: no (N, P, 2) operand
-    y = coords[..., 1].astype(jnp.float32)
+    x = x.astype(jnp.float32)  # planar end to end: no (N, P, 2) operand
+    y = y.astype(jnp.float32)
 
     p_pad = _round_up(p, _TILE)
 

@@ -488,6 +488,28 @@ def measure_baseline(runs: int = 3):
     return fps, load1, contended
 
 
+def pinned_baseline():
+    """The dated canonical torch-CPU baseline from BASELINE.json.
+
+    Round-4 verdict weak #5: re-rolling the baseline each session let a
+    +-30 percent denominator wobble move the headline ratio round to
+    round. The pin is the median of independent solo best-of-3 sessions
+    (dates recorded in the file); ``vs_baseline`` divides by this fixed
+    number, and the per-run fresh measurement is reported separately as
+    a drift monitor only.
+    """
+    import os
+
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.json")
+        with open(path) as f:
+            pb = json.load(f)["pinned_baseline"]
+        return float(pb["torch_cpu_frames_per_s"]), pb
+    except (OSError, KeyError, ValueError):
+        return None, None
+
+
 def main():
     import os
 
@@ -533,20 +555,37 @@ def main():
         prof = profile_batched_step(config=ModelConfig.serving())
     except Exception as e:  # noqa: BLE001
         print(f"profile stats failed: {e}", file=sys.stderr)
+    pin_fps, pin_meta = pinned_baseline()
     try:
         base_fps, base_load1, contended = measure_baseline()
         contended = contended or start_load1 > 1.0
-        vs = None if contended else batched_fps / base_fps
-        baseline_status = (
-            f"contended(load1={max(base_load1, start_load1):.2f}); "
-            "vs_baseline withheld -- rerun solo"
+        fresh_status = (
+            f"contended(load1={max(base_load1, start_load1):.2f})"
             if contended
             else "solo-best-of-3"
         )
     except Exception as e:  # noqa: BLE001
         print(f"baseline failed: {e}", file=sys.stderr)
-        base_fps = vs = None
-        baseline_status = "failed"
+        base_fps = None
+        contended = True
+        fresh_status = "failed"
+    if pin_fps is not None:
+        # the headline ratio uses the PINNED denominator (stable across
+        # sessions); the fresh measurement is drift telemetry only
+        vs = batched_fps / pin_fps
+        baseline_status = (
+            f"pinned({pin_meta.get('pinned_date', '?')}, "
+            f"median of {len(pin_meta.get('sessions', []))} solo sessions)"
+        )
+        drift_pct = (
+            None
+            if base_fps is None or contended
+            else round((base_fps - pin_fps) / pin_fps * 100.0, 1)
+        )
+    else:
+        vs = None if (base_fps is None or contended) else batched_fps / base_fps
+        baseline_status = fresh_status if base_fps is not None else "failed"
+        drift_pct = None
     print(
         json.dumps(
             {
@@ -562,10 +601,17 @@ def main():
                 if seq_serving_fps is None
                 else round(seq_serving_fps, 2),
                 "recordings_in_lockstep": 24,
-                "baseline_torch_cpu_frames_per_s": None
+                "baseline_torch_cpu_frames_per_s": (
+                    round(pin_fps, 2)
+                    if pin_fps is not None
+                    else (None if base_fps is None else round(base_fps, 2))
+                ),
+                "baseline_status": baseline_status,
+                "baseline_fresh_torch_cpu_frames_per_s": None
                 if base_fps is None
                 else round(base_fps, 2),
-                "baseline_status": baseline_status,
+                "baseline_fresh_status": fresh_status,
+                "baseline_drift_pct": drift_pct,
                 "live_ms_per_frame_p50": None
                 if live_lat is None
                 else round(live_lat[0], 3),

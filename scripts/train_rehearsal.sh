@@ -1,10 +1,15 @@
 #!/bin/bash
-# Trained-weights dress rehearsal (the checkpoint recipe) -- round 4.
+# Trained-weights dress rehearsal (the checkpoint recipe) -- round 5.
 #
 # Trains BOTH regressor branches on windows produced by the REAL
 # crop/warp pipeline over synthetic-renderer frames posed by the
 # sample_data labels (training/rendered.py), at the serving crop size.
 # recording_11 is held out; the run prints held-out tracked MPJPE.
+#
+# Round 5: frames come from the mesh-silhouette renderer (the default;
+# tracker/video_data.py MeshFrameSource) -- finite hand extent makes
+# stereo depth and skeleton scale observable, unlike the round-4
+# landmark-blob imagery.
 #
 # Round-4 corpus: each training recording is multiplied by AUGMENT extra
 # replicas (skeleton scale 0.8-1.2, pose perturbation within joint
