@@ -68,12 +68,22 @@ def _capture_proc(ring_name, n_slots, slot_bytes, source_kind, max_frames, stop,
                   throttle_s=0.01):
     shm, ring = _attach_ring(ring_name, n_slots, slot_bytes)
     try:
-        if source_kind == "synthetic":
+        if source_kind in ("synthetic", "synthetic_static"):
             rng = np.random.default_rng(0)
+            # "synthetic_static" pushes one pre-generated frame in a loop:
+            # per-frame rng generation (~5 ms) otherwise dominates and the
+            # measurement stops being about the ring transport
+            static = (
+                rng.uniform(0, 255, (2, 480, 640)).astype(np.uint8)
+                if source_kind == "synthetic_static" else None
+            )
             for i in range(max_frames):
                 if stop.is_set():
                     break
-                mono = rng.uniform(0, 255, (2, 480, 640)).astype(np.uint8)
+                mono = (
+                    static if static is not None
+                    else rng.uniform(0, 255, (2, 480, 640)).astype(np.uint8)
+                )
                 _push_obj(ring, (i, mono))
                 if throttle_s > 0:
                     time.sleep(throttle_s)

@@ -47,7 +47,7 @@ class TrackerConfig:
     min_required_vis_landmarks: int = 19
     crop_size: Tuple[int, int] = (96, 96)
     # true sensor (H, W) when the caller uploads frames PRE-PADDED to the
-    # warp kernel's window-aligned dims (512k rows, 128k cols): skips the
+    # warp kernel's window-aligned dims (256k rows, 128k cols): skips the
     # per-dispatch device-side pad of the whole image batch (~0.8 ms per
     # 128-frame serving dispatch) at identical sampling semantics.
     src_valid_hw: Optional[Tuple[int, int]] = None

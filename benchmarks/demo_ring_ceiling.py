@@ -46,12 +46,23 @@ def main():
     from absolutetrack_tpu.models import ModelConfig
     from absolutetrack_tpu.tracker.video_data import load_labels
 
-    # --- ring-only ceiling: null consumer -----------------------------
-    t0 = time.perf_counter()
-    got = run_multiprocess_demo(
-        max_frames=args.frames, source_kind="synthetic", throttle_s=0.0
+    # --- ring-only ceiling: null consumer, static frame ----------------
+    # (static source + first-pop-to-last-pop window: excludes process
+    # spawn and per-frame rng generation, leaving ring + pickle framing)
+    tw = {"first": None, "last": None, "n": 0}
+
+    def null_consumer(_idx, _mono):
+        now = time.perf_counter()
+        if tw["first"] is None:
+            tw["first"] = now
+        tw["last"] = now
+        tw["n"] += 1
+
+    run_multiprocess_demo(
+        max_frames=args.frames, source_kind="synthetic_static",
+        on_frame=null_consumer, throttle_s=0.0,
     )
-    ring_only_fps = got / (time.perf_counter() - t0)
+    ring_only_fps = max(tw["n"] - 1, 1) / max(tw["last"] - tw["first"], 1e-9)
 
     # --- full topology with an in-process CPU-jit tracker -------------
     labels = load_labels(
@@ -59,8 +70,19 @@ def main():
     )
     cfg = ModelConfig.tiny(input_size=(32, 32))
     model = eval_lib.build_model(None, cfg=cfg)
-    live = LiveTracker(model, labels.hand_model, cameras=labels.cameras_at(0))
+    from absolutetrack_tpu.tracker import TrackerConfig
+
+    live = LiveTracker(
+        model, labels.hand_model, cameras=labels.cameras_at(0),
+        opts=TrackerConfig(crop_size=cfg.input_size),
+    )
     live.cameras = jax.tree.map(lambda x: x[1:3], labels.cameras_at(0))
+
+    # warm the jit BEFORE capture starts: the drop-oldest ring would
+    # otherwise discard nearly the whole run behind frame 0's compile
+    warm_kp = np.full((2, 2, 21, 2), -1.0, np.float32)
+    warm_valid = np.zeros((2, 2), bool)
+    live(np.zeros((2, 480, 640), np.uint8), warm_kp, warm_valid)
 
     stage_ms = {"wait": [], "detect": [], "track": []}
     state = {"last_pop": None, "n": 0, "t_start": None}

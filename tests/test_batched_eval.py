@@ -166,8 +166,14 @@ class TestBatchedUnknownSkeletonTwoPass:
                 bres.valid_tracking, sres.valid_tracking
             )
             m = sres.valid_tracking
+            # rtol 1e-3 (vs 1e-4 in the single-pass test): the random-init
+            # model's pass-2 feedback loop diverges to ~2e7 mm keypoints,
+            # where batch-shape-dependent XLA fusion order (the planar
+            # coord chain compiles differently at R=1 vs R=3) amplifies
+            # fp noise chaotically. A real dataflow bug (wrong scale
+            # pairing, crossed recordings) shows up at O(1) relative.
             np.testing.assert_allclose(
                 bres.tracked_keypoints[m], sres.tracked_keypoints[m],
-                rtol=1e-4, atol=5e-3,  # mm; conv batch reduction reorder
+                rtol=1e-3, atol=5e-3,
             )
             np.testing.assert_array_equal(bres.gt_keypoints, sres.gt_keypoints)
