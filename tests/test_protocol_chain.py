@@ -7,12 +7,14 @@ run_eval_unknown_skeleton -> load_eval -- and pins the end-of-chain
 metrics. Rounds 5+ catch drift anywhere in the train->checkpoint->eval
 chain through the apps themselves, not just module parity.
 
-Pinned bounds come from the measured operating point (tmp/chain_driver
-runs, round 4): known 114 mm / unknown 136 mm mean keypoint error at
-success rate 1.0 with calibrated scales ~1.0. Bounds are ~1.8x loose to
-absorb cross-version XLA:CPU numeric drift while still catching the
-failure modes that matter (lost tracking, exploded errors, a broken
-branch, scale calibration going wild).
+Pinned bounds come from the measured round-5 operating point on
+MESH-rendered frames (tmp/chain_op_point.log, 2026-08-21): known
+91.64 mm / unknown 150.66 mm mean keypoint error, unknown/known ratio
+1.644, success rate 1.0, calibrated scales 0.979-0.990 (std 0.005).
+Bounds are <= 1.25x the measured point (round-4 verdict item 3: a 25%
+end-of-chain regression must fail), plus a branch-ratio pin -- drift in
+ONE branch (the likeliest regression shape) moves the ratio out of
+[1.1, 2.2] well before both absolute pins trip.
 
 Reference protocol being chained: run_eval_known_skeleton.py:48-123 and
 run_eval_unknown_skeleton.py:49-78.
@@ -65,12 +67,15 @@ def test_trained_protocol_chain(tmp_path):
     mk = load_eval.aggregate_metrics(known_dir)
     mu = load_eval.aggregate_metrics(unknown_dir)
 
-    # end-of-chain pins (measured round-4 operating point in docstring)
+    # end-of-chain pins: <= 1.25x the measured operating point (docstring)
     assert mk["n_total"] == 3 * 20 * 2  # 3 recordings x 20 frames x 2 hands
     assert mk["success_rate"] == 1.0, mk
-    assert 20.0 < mk["mean_keypoint_error_mm"] < 200.0, mk
+    assert 60.0 < mk["mean_keypoint_error_mm"] < 115.0, mk  # measured 91.64
     assert mu["success_rate"] == 1.0, mu
-    assert 20.0 < mu["mean_keypoint_error_mm"] < 250.0, mu
+    assert 100.0 < mu["mean_keypoint_error_mm"] < 189.0, mu  # measured 150.66
+    # branch-ratio pin: one branch regressing alone moves this first
+    ratio = mu["mean_keypoint_error_mm"] / mk["mean_keypoint_error_mm"]
+    assert 1.1 < ratio < 2.2, (ratio, mk, mu)  # measured 1.644
 
     # the calibrated scales the unknown protocol wrote must be sane and
     # consistent (same user in every recording)
@@ -82,5 +87,5 @@ def test_trained_protocol_chain(tmp_path):
                     scales.append(pickle.load(fh)["calibrated_scale"])
     assert len(scales) == 3
     scales = np.asarray(scales)
-    assert (scales > 0.85).all() and (scales < 1.25).all(), scales
-    assert scales.std() < 0.1, scales
+    assert (scales > 0.9).all() and (scales < 1.1).all(), scales  # 0.979-0.990
+    assert scales.std() < 0.05, scales  # measured 0.005
