@@ -61,7 +61,12 @@ def unknown_evals():
 
 
 def gt_scale_ratio():
-    """GT user05-vs-generic skeleton scale ratio (mean bone-length ratio)."""
+    """GT user05-vs-generic skeleton scale under the TRAINING-TARGET
+    definition (training/rendered.py:_log_scale_vs_generic: ratio of
+    summed joint-rest-offset norms) = 1.0574. All sensible definitions
+    agree to ~1%: joint-rest norm-ratio 1.0624, landmark-rest 1.0623,
+    per-joint median 1.0556. The round-4 notes' "~1.17" was a
+    measurement error; the scale head's honest GT is ~1.06."""
     import numpy as np
 
     from absolutetrack_tpu.kinematics.hand_model import load_hand_model_json
@@ -73,11 +78,9 @@ def gt_scale_ratio():
     gen = load_hand_model_json(
         "/root/reference/dataset/generic_hand_model.json"
     )
-    ratio = float(
-        np.linalg.norm(np.asarray(user.joint_rest_positions))
-        / np.linalg.norm(np.asarray(gen.joint_rest_positions))
-    )
-    return ratio
+    num = np.linalg.norm(np.asarray(user.joint_rest_positions), axis=-1).sum()
+    den = np.linalg.norm(np.asarray(gen.joint_rest_positions), axis=-1).sum()
+    return float(num / den)
 
 
 def aggregate():
