@@ -574,8 +574,9 @@ def main():
         # sessions); the fresh measurement is drift telemetry only
         vs = batched_fps / pin_fps
         baseline_status = (
-            f"pinned({pin_meta.get('pinned_date', '?')}, "
-            f"median of {len(pin_meta.get('sessions', []))} solo sessions)"
+            f"pinned({pin_meta.get('date', '?')}, "
+            f"median of {len(pin_meta.get('sessions_best_of_3', []))} "
+            "solo sessions)"
         )
         drift_pct = (
             None
